@@ -1,0 +1,179 @@
+"""OpenCLIP / CLIP torch-checkpoint → Flax parameter conversion.
+
+The reference obtains pretrained towers via ``open_clip.create_model_and_
+transforms`` (reference utils/extras.py:155).  Here we read the raw torch
+state dict (no open_clip dependency) and rename/transpose/stack into the
+`swat_tpu.models.clip.CLIPModel` layout:
+
+torch (OpenCLIP ``CLIP`` class)           flax (this repo)
+---------------------------------------   ------------------------------------
+visual.conv1.weight [w,3,p,p]             visual/patch_embed/kernel [p*p*3, w]
+visual.class_embedding                    visual/class_embedding
+visual.positional_embedding               visual/positional_embedding
+visual.ln_pre.{weight,bias}               visual/ln_pre/ln/{scale,bias}
+visual.transformer.resblocks.N.*          visual/transformer/blocks/* (stacked on axis 0)
+  .attn.in_proj_weight [3d,d]             attn/qkv/kernel [N,d,3d]  (transposed)
+  .attn.out_proj.weight [d,d]             attn/out/kernel [N,d,d]   (transposed)
+  .mlp.c_fc.weight [4d,d]                 mlp/fc/kernel  [N,d,4d]   (transposed)
+  .mlp.c_proj.weight [d,4d]               mlp/proj/kernel [N,4d,d]  (transposed)
+  .ln_1/.ln_2.{weight,bias}               ln_1/ln, ln_2/ln {scale,bias}
+visual.ln_post / visual.proj              visual/ln_post, visual/proj
+token_embedding.weight                    text/token_embedding
+positional_embedding                      text/positional_embedding
+transformer.resblocks.N.*                 text/transformer/blocks/*
+ln_final.{weight,bias}                    text/ln_final/ln/{scale,bias}
+text_projection                           text/text_projection
+logit_scale                               returned separately
+
+The reverse conversion (`params_to_torch_state_dict`) round-trips for
+checkpoint export / parity testing.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    # torch tensor without importing torch at module scope
+    return t.detach().cpu().numpy() if hasattr(t, "detach") else np.asarray(t)
+
+
+def _convert_blocks(sd: Mapping[str, Any], prefix: str, layers: int) -> dict:
+    """Stack per-layer resblock weights along a leading ``layers`` axis."""
+
+    def stack(fmt, transpose=False):
+        mats = [_np(sd[fmt.format(i)]).astype(np.float32) for i in range(layers)]
+        if transpose:
+            mats = [m.T for m in mats]
+        return np.stack(mats, axis=0)
+
+    return {
+        "ln_1": {"ln": {"scale": stack(prefix + "{}.ln_1.weight"),
+                        "bias": stack(prefix + "{}.ln_1.bias")}},
+        "ln_2": {"ln": {"scale": stack(prefix + "{}.ln_2.weight"),
+                        "bias": stack(prefix + "{}.ln_2.bias")}},
+        "attn": {
+            "qkv": {"kernel": stack(prefix + "{}.attn.in_proj_weight", True),
+                    "bias": stack(prefix + "{}.attn.in_proj_bias")},
+            "out": {"kernel": stack(prefix + "{}.attn.out_proj.weight", True),
+                    "bias": stack(prefix + "{}.attn.out_proj.bias")},
+        },
+        "mlp": {
+            "fc": {"kernel": stack(prefix + "{}.mlp.c_fc.weight", True),
+                   "bias": stack(prefix + "{}.mlp.c_fc.bias")},
+            "proj": {"kernel": stack(prefix + "{}.mlp.c_proj.weight", True),
+                     "bias": stack(prefix + "{}.mlp.c_proj.bias")},
+        },
+    }
+
+
+def torch_state_dict_to_params(sd: Mapping[str, Any],
+                               vision_layers: int,
+                               text_layers: int) -> tuple[dict, float]:
+    """Returns (flax params dict, logit_scale scalar)."""
+    sd = {k.removeprefix("module."): v for k, v in sd.items()}
+
+    conv1 = _np(sd["visual.conv1.weight"]).astype(np.float32)  # [w,3,p,p]
+    w, c, p, _ = conv1.shape
+    # (out,in,kh,kw) -> (kh,kw,in) flattened, matching the NHWC unfold order
+    patch_kernel = conv1.transpose(2, 3, 1, 0).reshape(p * p * c, w)
+
+    def ln(name):
+        return {"ln": {"scale": _np(sd[f"{name}.weight"]).astype(np.float32),
+                       "bias": _np(sd[f"{name}.bias"]).astype(np.float32)}}
+
+    params = {
+        "visual": {
+            "patch_embed": {"kernel": patch_kernel},
+            "class_embedding": _np(sd["visual.class_embedding"]).astype(np.float32),
+            "positional_embedding": _np(sd["visual.positional_embedding"]).astype(np.float32),
+            "ln_pre": ln("visual.ln_pre"),
+            "ln_post": ln("visual.ln_post"),
+            "proj": _np(sd["visual.proj"]).astype(np.float32),
+            "transformer": {"blocks": _convert_blocks(
+                sd, "visual.transformer.resblocks.", vision_layers)},
+        },
+        "text": {
+            "token_embedding": _np(sd["token_embedding.weight"]).astype(np.float32),
+            "positional_embedding": _np(sd["positional_embedding"]).astype(np.float32),
+            "ln_final": ln("ln_final"),
+            "text_projection": _np(sd["text_projection"]).astype(np.float32),
+            "transformer": {"blocks": _convert_blocks(
+                sd, "transformer.resblocks.", text_layers)},
+        },
+    }
+    logit_scale = float(_np(sd["logit_scale"]).reshape(()))
+    return params, logit_scale
+
+
+def params_to_torch_state_dict(params: Mapping[str, Any],
+                               logit_scale: float) -> dict:
+    """Inverse of `torch_state_dict_to_params` (numpy arrays as values)."""
+    out: dict[str, np.ndarray] = {}
+    vis, txt = params["visual"], params["text"]
+
+    k = np.asarray(vis["patch_embed"]["kernel"], dtype=np.float32)
+    ppc, w = k.shape
+    side = int(round((ppc // 3) ** 0.5))
+    out["visual.conv1.weight"] = (
+        k.reshape(side, side, 3, w).transpose(3, 2, 0, 1))
+    out["visual.class_embedding"] = np.asarray(vis["class_embedding"])
+    out["visual.positional_embedding"] = np.asarray(vis["positional_embedding"])
+    out["visual.proj"] = np.asarray(vis["proj"])
+    out["token_embedding.weight"] = np.asarray(txt["token_embedding"])
+    out["positional_embedding"] = np.asarray(txt["positional_embedding"])
+    out["text_projection"] = np.asarray(txt["text_projection"])
+    out["logit_scale"] = np.asarray(logit_scale, dtype=np.float32)
+
+    for flax_ln, torch_ln in [
+        (vis["ln_pre"], "visual.ln_pre"), (vis["ln_post"], "visual.ln_post"),
+        (txt["ln_final"], "ln_final"),
+    ]:
+        out[f"{torch_ln}.weight"] = np.asarray(flax_ln["ln"]["scale"])
+        out[f"{torch_ln}.bias"] = np.asarray(flax_ln["ln"]["bias"])
+
+    for blocks, prefix in [
+        (vis["transformer"]["blocks"], "visual.transformer.resblocks."),
+        (txt["transformer"]["blocks"], "transformer.resblocks."),
+    ]:
+        n = np.asarray(blocks["ln_1"]["ln"]["scale"]).shape[0]
+        for i in range(n):
+            pre = f"{prefix}{i}"
+            out[f"{pre}.ln_1.weight"] = np.asarray(blocks["ln_1"]["ln"]["scale"])[i]
+            out[f"{pre}.ln_1.bias"] = np.asarray(blocks["ln_1"]["ln"]["bias"])[i]
+            out[f"{pre}.ln_2.weight"] = np.asarray(blocks["ln_2"]["ln"]["scale"])[i]
+            out[f"{pre}.ln_2.bias"] = np.asarray(blocks["ln_2"]["ln"]["bias"])[i]
+            out[f"{pre}.attn.in_proj_weight"] = np.asarray(
+                blocks["attn"]["qkv"]["kernel"])[i].T
+            out[f"{pre}.attn.in_proj_bias"] = np.asarray(
+                blocks["attn"]["qkv"]["bias"])[i]
+            out[f"{pre}.attn.out_proj.weight"] = np.asarray(
+                blocks["attn"]["out"]["kernel"])[i].T
+            out[f"{pre}.attn.out_proj.bias"] = np.asarray(
+                blocks["attn"]["out"]["bias"])[i]
+            out[f"{pre}.mlp.c_fc.weight"] = np.asarray(
+                blocks["mlp"]["fc"]["kernel"])[i].T
+            out[f"{pre}.mlp.c_fc.bias"] = np.asarray(
+                blocks["mlp"]["fc"]["bias"])[i]
+            out[f"{pre}.mlp.c_proj.weight"] = np.asarray(
+                blocks["mlp"]["proj"]["kernel"])[i].T
+            out[f"{pre}.mlp.c_proj.bias"] = np.asarray(
+                blocks["mlp"]["proj"]["bias"])[i]
+    return out
+
+
+def load_torch_checkpoint(path: str, vision_layers: int, text_layers: int):
+    """Load an OpenCLIP/CLIP ``.pt``/``.bin`` checkpoint file from disk."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "state_dict" in ckpt:
+        ckpt = ckpt["state_dict"]
+    elif hasattr(ckpt, "state_dict"):  # jit-scripted archive
+        ckpt = ckpt.state_dict()
+    return torch_state_dict_to_params(ckpt, vision_layers, text_layers)
