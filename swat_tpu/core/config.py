@@ -1,0 +1,217 @@
+"""Run configuration.
+
+Flag-compatible with the reference CLI (utils/parser.py:7-218) but held in
+an immutable dataclass; stage transitions produce *derived* configs instead
+of mutating args mid-run (the reference mutates ``args`` between stages,
+main.py:421-425,481-486 — SURVEY.md §5 flags this as a footgun).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional, Tuple
+
+from swat_tpu.data.registry import NUM_CLASSES_DICT
+
+SplitSpec = Tuple[List[str], List[str]]
+
+
+@dataclasses.dataclass(frozen=True)
+class RunConfig:
+    # logging
+    log_mode: str = "both"
+    folder: str = "output"
+    prefix: Optional[str] = None
+
+    # model
+    model_cfg: str = "vitb32_openclip_laion400m"
+    model_path: Optional[str] = None          # warm-start checkpoint
+    checkpoint_path: Optional[str] = None     # pretrained OpenCLIP weights
+    bpe_path: Optional[str] = None
+
+    # prompts
+    prompt_name: str = "most_common_name"
+    use_attribute: bool = False
+    database: str = "LAION400M"
+
+    # dataset / data sources
+    dataset: str = "semi-aves"
+    data_source: str = "fewshot"
+    shots: int = 16
+    retrieval_split: str = "T2T500+T2I0.25.txt"
+    unlabeled_split: str = "u_train_in_oracle.txt"
+    seed: int = 1
+    training_seed: int = 1
+    dataset_path: str = "data"
+    retrieved_path: str = "data/retrieved"
+    test_imagenet_ood: bool = False
+
+    # method
+    method: str = "finetune"
+    cls_init: str = "REAL-Prompt"
+    fewshot_ratio: float = 0.5
+    no_wsft: bool = False
+    no_tau: bool = False
+    mix_prob: float = 0.5
+    mixup_alpha: float = 1.0
+    cutmix_beta: float = 1.0
+    cmo_alpha: float = 1.0
+    skip_stage1: bool = False
+    skip_stage2: bool = False
+    stage1_model_path: Optional[str] = None
+    attentive_threshold: float = 0.85
+    attentive_name: str = "c-name"
+
+    # fixmatch
+    mu: int = 1
+    threshold: float = 0.95
+    lambda_u: float = 1.0
+
+    # training control
+    check_zeroshot: bool = False
+    zeroshot_only: bool = False
+    early_stop: bool = False
+    epochs: int = 0
+    stop_epochs: int = 200
+    recal_prompt: bool = False
+    recal_fea: bool = False
+    pre_extracted: bool = False
+    locked_text: bool = False
+    freeze_visual: bool = False
+    tau_norm: bool = True
+
+    # optimization
+    num_workers: int = 16
+    start_validation: int = 0
+    lr_classifier: float = 1e-4
+    lr_backbone: float = 1e-6
+    lr_projector: Optional[float] = None
+    wd: float = 1e-2
+    bsz: int = 32
+    optim: str = "AdamW"
+    temperature: float = 0.07
+    alpha: float = 0.5                        # WiSE-FT mixing
+
+    # loss
+    loss_name: str = "CE"
+    dataset_wd: float = 1.0
+    fewshot_weight: float = 1.0
+    focal_alpha: float = 1.0
+    focal_gamma: float = 2.0
+
+    # save
+    save_ckpt: bool = False
+    save_freq: int = 10
+    utrain: Optional[str] = None
+
+    # TPU-native additions (no reference equivalent)
+    mesh_data: int = -1                       # data-parallel axis size
+    mesh_model: int = 1                       # tensor-parallel axis size
+    aug_mode: str = "canvas"                  # 'canvas' (device) | 'host'
+    use_pallas: bool = False
+    remat: bool = False
+    compute_dtype: str = "float32"            # reference parity default
+
+    # ------------------------------------------------------------------
+    # derived (reference utils/parser.py:154-216)
+
+    def derived(self) -> "RunConfig":
+        cfg = self
+        if cfg.method == "zeroshot":
+            cfg = dataclasses.replace(cfg, check_zeroshot=True,
+                                      zeroshot_only=True, skip_stage2=True)
+        # cls_init -> prompt_name coupling (:160-165)
+        if cfg.cls_init in ("REAL-Prompt", "REAL-Linear", "random"):
+            cfg = dataclasses.replace(cfg, prompt_name="most_common_name")
+        elif cfg.cls_init == "text":
+            cfg = dataclasses.replace(cfg, prompt_name="name")
+        # freeze / pre-extract rules (:167-179)
+        if cfg.method in ("probing", "CMLP", "REAL-Linear"):
+            cfg = dataclasses.replace(cfg, freeze_visual=True)
+        else:
+            cfg = dataclasses.replace(cfg, freeze_visual=False,
+                                      pre_extracted=False)
+        if not cfg.freeze_visual and cfg.pre_extracted:
+            raise ValueError("visual encoder not frozen, pre-extracted "
+                             "features are not compatible.")
+        # batch halving (:181-182)
+        if cfg.method in ("CMLP", "finetune-mixed"):
+            cfg = dataclasses.replace(cfg, bsz=cfg.bsz // 2)
+        return cfg
+
+    # split specs (reference utils/parser.py:185-207)
+    @property
+    def dataset_dir(self) -> str:
+        return os.path.join(self.dataset_path, self.dataset)
+
+    @property
+    def retrieved_dir(self) -> str:
+        return os.path.join(self.retrieved_path, self.dataset)
+
+    @property
+    def fewshot_file(self) -> str:
+        return f"fewshot{self.shots}_seed{self.seed}.txt"
+
+    @property
+    def fewshot_data(self) -> SplitSpec:
+        return ([self.fewshot_file], [self.dataset_dir])
+
+    @property
+    def retrieval_data(self) -> SplitSpec:
+        return ([self.retrieval_split], [self.retrieved_dir])
+
+    @property
+    def val_split(self) -> SplitSpec:
+        return ([self.fewshot_file], [self.dataset_dir])
+
+    @property
+    def test_split(self) -> SplitSpec:
+        return (["test.txt"], [self.dataset_dir])
+
+    @property
+    def unlabeled_data(self) -> SplitSpec:
+        return ([self.unlabeled_split], [self.dataset_dir])
+
+    @property
+    def train_split(self) -> SplitSpec:
+        src = self.data_source
+        if src == "fewshot":
+            return self.fewshot_data
+        if src == "retrieved":
+            return self.retrieval_data
+        if src == "fewshot+retrieved":
+            return ([self.fewshot_file, self.retrieval_split],
+                    [self.dataset_dir, self.retrieved_dir])
+        if src == "dataset-cls":
+            return (["dataset_train.txt"], [""])
+        raise NotImplementedError(f"data_source {src}")
+
+    @property
+    def num_classes(self) -> int:
+        if self.method == "dataset-cls":
+            return 2
+        return NUM_CLASSES_DICT[self.dataset]
+
+    @property
+    def dataset_root(self) -> str:
+        # split files live next to the dataset (reference keeps them under
+        # data/{dataset}, utils/parser.py:213)
+        return self.dataset_dir
+
+    @property
+    def case_name(self) -> str:
+        pre = f"{self.prefix}_" if self.prefix else ""
+        return (f"{pre}{self.dataset}_{self.method}_{self.data_source}_"
+                f"{self.cls_init}_{self.shots}shots_seed{self.seed}_"
+                f"{self.epochs}eps")
+
+    @property
+    def output_dir(self) -> str:
+        return os.path.join(f"{self.folder}/output_{self.dataset}",
+                            self.case_name)
+
+    @property
+    def metrics_file(self) -> str:
+        return os.path.join(self.dataset_dir,
+                            f"{self.dataset}_metrics-{self.database.upper()}.json")

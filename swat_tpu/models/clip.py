@@ -154,8 +154,10 @@ class VisionTower(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, images):
-        """images: [B, H, W, 3] float (already CLIP-normalized)."""
+    def __call__(self, images, pool: bool = True):
+        """images: [B, H, W, 3] float (already CLIP-normalized).
+        pool=False returns all token embeddings [B, S, embed_dim]
+        (class token first) — used for attention heatmaps."""
         cfg = self.cfg
         p = cfg.patch_size
         b, h, w, c = images.shape
@@ -190,7 +192,8 @@ class VisionTower(nn.Module):
                         quick_gelu=cfg.quick_gelu, precision=self.precision,
                         remat=self.remat, use_pallas=self.use_pallas,
                         name="transformer")(x)
-        x = _LayerNorm(self.precision.compute_dtype, name="ln_post")(x[:, 0])
+        x = _LayerNorm(self.precision.compute_dtype, name="ln_post")(
+            x if not pool else x[:, 0])
 
         proj = self.param(
             "proj", nn.initializers.normal(stddev=cfg.width ** -0.5),
@@ -260,6 +263,10 @@ class CLIPModel(nn.Module):
     def encode_image(self, images, normalize: bool = False):
         feats = self.visual(images)
         return _maybe_normalize(feats, normalize)
+
+    def encode_image_tokens(self, images):
+        """All projected token embeddings [B, S, D], class token first."""
+        return self.visual(images, pool=False)
 
     def encode_text(self, token_ids, normalize: bool = False):
         feats = self.text(token_ids)

@@ -1,0 +1,733 @@
+"""Stage orchestration: the reference main.py flow, TPU-native.
+
+stage-1 finetune (method dispatch) -> WiSE-FT alpha ensembling -> feature
+re-extraction -> tau-normalization -> best-bundle save -> stage-2 linear
+probing -> stage-2 few-shot full finetune -> CSV summary line.
+
+Mirrors reference main.py:198-606 with immutable per-stage configs instead
+of mutated args.  WiSE-FT (main.py:132-195) and tau-norm (main.py:27-73)
+are pure array/pytree arithmetic over pre-extracted features.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from swat_tpu.core.config import RunConfig
+from swat_tpu.core.mesh import MeshSpec, create_mesh
+from swat_tpu.core.precision import DEFAULT_PRECISION, FP32_PRECISION
+from swat_tpu.data import prompts as P
+from swat_tpu.data.features import extract_image_features
+from swat_tpu.data.pipeline import (
+    CyclingLoader,
+    EvalLoader,
+    FeatureBatches,
+    TrainLoader,
+    WeightedTrainLoader,
+)
+from swat_tpu.data.splits import class_counts, read_split
+from swat_tpu.eval.metrics import calculate_scores
+from swat_tpu.eval.validate import Evaluator, validate_features
+from swat_tpu.models.clip import CLIPModel
+from swat_tpu.models.configs import get_model_config
+from swat_tpu.models.head import (
+    head_logits,
+    init_head_from_prompts,
+    init_head_random,
+    tau_normalize,
+    wise_ft_head,
+    wise_ft_params,
+)
+from swat_tpu.models.loader import load_torch_checkpoint
+from swat_tpu.models.tokenizer import get_tokenizer
+from swat_tpu.train import steps as S
+from swat_tpu.train.checkpoint import (
+    load_best_model,
+    save_best_model,
+    save_test_scores,
+)
+from swat_tpu.train.losses import set_loss
+from swat_tpu.train.state import create_train_state
+from swat_tpu.train.trainer import compose_twin, train_loop
+from swat_tpu.utils.logging import set_logger
+
+
+class SwatPipeline:
+    """Holds the model, prompts, heads, and loaders for one run."""
+
+    def __init__(self, cfg: RunConfig, logger=None, loss_logger=None):
+        self.cfg = cfg.derived()
+        cfg = self.cfg
+        if logger is None:
+            logger, loss_logger = set_logger(cfg)
+        self.logger = logger
+        self.loss_logger = loss_logger
+
+        self.mesh = None
+        if cfg.mesh_data != 1 or cfg.mesh_model != 1:
+            try:
+                self.mesh = create_mesh(MeshSpec(cfg.mesh_data,
+                                                 cfg.mesh_model))
+            except ValueError:
+                self.mesh = None
+
+        self.model_cfg = get_model_config(cfg.model_cfg)
+        precision = (FP32_PRECISION if cfg.compute_dtype == "float32"
+                     else DEFAULT_PRECISION)
+        self.model = CLIPModel(self.model_cfg, precision=precision,
+                               remat=cfg.remat, use_pallas=cfg.use_pallas)
+
+        # ---- pretrained weights (reference set_model, utils/models.py:11)
+        if cfg.checkpoint_path:
+            params, pretrained_scale = load_torch_checkpoint(
+                cfg.checkpoint_path, self.model_cfg.vision.layers,
+                self.model_cfg.text.layers)
+            logger.info(f"Loaded model: {cfg.model_cfg} from "
+                        f"{cfg.checkpoint_path}")
+        else:
+            params = self.model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, self.model_cfg.vision.image_size,
+                           self.model_cfg.vision.image_size, 3),
+                          jnp.float32),
+                jnp.zeros((1, self.model_cfg.text.context_length),
+                          jnp.int32))["params"]
+            logger.info(
+                f"WARNING: no checkpoint_path; {cfg.model_cfg} initialized "
+                "randomly (smoke-test mode)")
+        self.params = jax.device_put(
+            jax.tree_util.tree_map(jnp.asarray, params))
+        self.zeroshot_params = self.params  # immutable tree, safe to alias
+
+        self.tokenizer = get_tokenizer(cfg.bpe_path)
+
+        # ---- prompts (reference set_prompt, utils/prompt.py:71-80)
+        self.prompt_tensors, self.text_prompts, self.tokenized_prompts = (
+            self._build_prompts())
+
+        # ---- classifier head (reference set_classifier,
+        # utils/models.py:22-43)
+        if cfg.method == "dataset-cls":
+            head = init_head_random(jax.random.PRNGKey(cfg.training_seed),
+                                    2, self.model_cfg.embed_dim)
+        elif cfg.cls_init in ("REAL-Prompt", "REAL-Linear", "text"):
+            head = init_head_from_prompts(
+                P.class_embedding_matrix(self.prompt_tensors))
+            logger.info("Initialized classifier head with text embedding. "
+                        f"weights.shape: {head.shape}")
+        elif cfg.cls_init == "random":
+            head = init_head_random(jax.random.PRNGKey(cfg.training_seed),
+                                    cfg.num_classes,
+                                    self.model_cfg.embed_dim)
+        else:
+            raise NotImplementedError(cfg.cls_init)
+        self.head = jnp.asarray(head)
+        self.zeroshot_head = self.head
+
+        self.evaluator = Evaluator(self.model, cfg.num_classes,
+                                   loss=self._loss(), mesh=self.mesh)
+        self._feature_cache: Dict[str, dict] = {}
+
+    # ------------------------------------------------------------------
+    # helpers
+
+    def _loss(self, cfg: Optional[RunConfig] = None):
+        cfg = cfg or self.cfg
+        cls_num_list = None
+        if cfg.loss_name == "BalancedSoftmax":
+            samples = read_split(cfg.dataset_root, cfg.train_split)
+            cls_num_list = class_counts(samples, cfg.num_classes)
+        return set_loss(cfg.loss_name, fewshot_weight=cfg.fewshot_weight,
+                        focal_alpha=cfg.focal_alpha,
+                        focal_gamma=cfg.focal_gamma,
+                        cls_num_list=cls_num_list)
+
+    def _encode_text_fn(self, params):
+        model = self.model
+
+        @jax.jit
+        def encode(tokens):
+            return model.apply({"params": params}, tokens, True,
+                               method=CLIPModel.encode_text)
+
+        return encode
+
+    def _build_prompts(self):
+        cfg = self.cfg
+        metrics = P.load_class_metrics(cfg.metrics_file)
+        self.logger.info(f"Loaded metrics from: {cfg.metrics_file}")
+        text_prompts = P.make_prompts(metrics, cfg.dataset, cfg.prompt_name)
+        tokenized = P.tokenize_prompts(
+            text_prompts, self.tokenizer,
+            self.model_cfg.text.context_length)
+        cache = os.path.join(
+            cfg.dataset_root, "prompts",
+            f"{cfg.dataset}_{cfg.model_cfg}_{cfg.prompt_name}"
+            "_prompt_tensors.npz")
+        if not cfg.recal_prompt and os.path.exists(cache):
+            tensors = P.load_prompt_tensors(cache)
+            self.logger.info(f"Loaded prompt tensors from {cache}")
+        else:
+            tensors = P.encode_prompts(
+                self._encode_text_fn(self.params), tokenized)
+            P.save_prompt_tensors(cache, tensors)
+            self.logger.info(f"Saved prompt tensors to {cache}")
+        return tensors, text_prompts, tokenized
+
+    def _samples(self, split):
+        return read_split(self.cfg.dataset_root, split)
+
+    def _eval_loader(self, split, bsz: int = 128):
+        return EvalLoader(self._samples(split), batch_size=bsz,
+                          n_px=self.model_cfg.vision.image_size,
+                          num_workers=self.cfg.num_workers)
+
+    def _features_for(self, split, params, tag: str, train_mode=False):
+        """Extract (or reuse) normalized features for a split with the given
+        params; cached in memory per (tag)."""
+        if tag in self._feature_cache:
+            return self._feature_cache[tag]
+        loader = self._eval_loader(split, bsz=256)
+        feats = extract_image_features(self.model, params, loader, self.mesh)
+        self._feature_cache[tag] = feats
+        return feats
+
+    def _validate_images(self, params, head, logit_scale, split,
+                         return_confusion=False, bsz=128):
+        loader = self._eval_loader(split, bsz=bsz)
+        return self.evaluator.validate(
+            params, head, logit_scale, loader,
+            return_confusion=return_confusion)
+
+    # ------------------------------------------------------------------
+    # zero-shot (reference run_zeroshot, utils/training.py:23-44)
+
+    def run_zeroshot(self) -> float:
+        acc, _, _ = self._validate_images(
+            self.params, self.zeroshot_head,
+            np.log(100.0), self.cfg.test_split, return_confusion=False)
+        self.logger.info(f"+++++ Zero-shot Test Acc: {round(acc, 3)}")
+        return acc
+
+    # ------------------------------------------------------------------
+    # method dispatch (reference main.py:236-327)
+
+    def train_method(self, cfg: RunConfig, params, head):
+        """Returns (final_state, BestSnapshot)."""
+        method = cfg.method
+        logger = self.logger
+        loss = self._loss(cfg)
+        mc = self.model_cfg
+        image_size = mc.vision.image_size
+
+        frozen = method in ("probing", "REAL-Linear", "CMLP")
+
+        if frozen:
+            # pre-extract features with the (frozen) current params
+            train_feats = extract_image_features(
+                self.model, params,
+                EvalLoader(self._samples(cfg.train_split), 256,
+                           image_size, cfg.num_workers), self.mesh)
+            train_loader = FeatureBatches(
+                train_feats["image_features"], train_feats["labels"],
+                batch_size=cfg.bsz, shuffle=True, drop_last=True,
+                seed=cfg.training_seed)
+            val_feats = extract_image_features(
+                self.model, params, self._eval_loader(cfg.val_split, 256),
+                self.mesh)
+            test_feats = extract_image_features(
+                self.model, params, self._eval_loader(cfg.test_split, 256),
+                self.mesh)
+        else:
+            train_loader = TrainLoader(
+                self._samples(cfg.train_split), batch_size=cfg.bsz,
+                seed=cfg.training_seed, mode=cfg.aug_mode,
+                n_px=image_size, num_workers=cfg.num_workers,
+                tokenized_prompts=(self.tokenized_prompts
+                                   if method == "FLYP" else None))
+
+        steps_per_epoch = len(train_loader)
+        total_iter = steps_per_epoch * max(cfg.epochs, 1)
+
+        # multitask needs a second (dataset) head
+        if method == "finetune-multitask":
+            head = {"cls": jnp.asarray(head),
+                    "dataset": init_head_random(
+                        jax.random.PRNGKey(cfg.training_seed + 1), 2,
+                        mc.embed_dim)}
+
+        state, tx = create_train_state(
+            params, head, method, lr_classifier=cfg.lr_classifier,
+            lr_backbone=cfg.lr_backbone, total_iter=total_iter,
+            wd=cfg.wd, optim_type=cfg.optim,
+            lr_projector=cfg.lr_projector, temperature=cfg.temperature)
+
+        # ---- step + batch composition
+        twin_cycler = None
+        post_epoch = None
+        if method in ("probing", "REAL-Linear"):
+            step = S.make_probing_step(self.model, tx, loss, True,
+                                       image_size)
+        elif method == "CMLP":
+            step = S.make_cmlp_step(self.model, tx, loss)
+            text_feats, text_labels = _flatten_prompt_bank(
+                self.prompt_tensors)
+            twin_cycler = CyclingLoader(FeatureBatches(
+                text_feats, text_labels, batch_size=cfg.bsz, shuffle=True,
+                drop_last=True, seed=cfg.training_seed))
+        elif method == "finetune":
+            step = S.make_ce_step(self.model, tx, loss, False, image_size)
+        elif method == "finetune-mixed":
+            step = S.make_ce_step(self.model, tx, loss, True, image_size)
+            twin_cycler = CyclingLoader(self._fs_loader(cfg))
+        elif method in ("mixup", "cutmix", "resizemix", "saliencymix"):
+            step = S.make_mixing_step(
+                self.model, tx, method, loss, mixup_alpha=cfg.mixup_alpha,
+                cutmix_beta=cfg.cutmix_beta, mix_prob=cfg.mix_prob,
+                image_size=image_size)
+        elif method == "attentivemix":
+            step = S.make_mixing_step(
+                self.model, tx, method, loss, mixup_alpha=cfg.mixup_alpha,
+                cutmix_beta=cfg.cutmix_beta, mix_prob=cfg.mix_prob,
+                heatmap_fn=self._heatmap_fn(), image_size=image_size)
+        elif method in ("mixup-fs", "cutmix-fs"):
+            step = S.make_mixing_step(
+                self.model, tx, method, loss, mixup_alpha=cfg.mixup_alpha,
+                cutmix_beta=cfg.cutmix_beta, mix_prob=cfg.mix_prob,
+                image_size=image_size)
+            twin_cycler = CyclingLoader(self._fs_loader(cfg))
+        elif method == "CMO":
+            step = S.make_mixing_step(
+                self.model, tx, "CMO", loss, cutmix_beta=cfg.cutmix_beta,
+                mix_prob=cfg.mix_prob, image_size=image_size)
+            twin_cycler = CyclingLoader(WeightedTrainLoader(
+                self._samples(cfg.train_split), cfg.num_classes,
+                cfg.cmo_alpha, batch_size=cfg.bsz, seed=cfg.training_seed,
+                mode=cfg.aug_mode, n_px=image_size,
+                num_workers=cfg.num_workers))
+        elif method == "FLYP":
+            step = S.make_flyp_step(self.model, tx, loss, image_size)
+            post_epoch = self._flyp_post_epoch()
+        elif method == "finetune-multitask":
+            step = S.make_multitask_step(self.model, tx, loss,
+                                         cfg.dataset_wd, image_size)
+        elif method == "dataset-cls":
+            step = S.make_dataset_cls_step(self.model, tx, loss, image_size)
+        elif method == "fixmatch":
+            step = S.make_fixmatch_step(
+                self.model, tx, threshold=cfg.threshold,
+                lambda_u=cfg.lambda_u, image_size=image_size)
+            # primary iteration over the *unlabeled* loader
+            u_loader = TrainLoader(
+                self._samples(cfg.unlabeled_data),
+                batch_size=cfg.bsz * cfg.mu, seed=cfg.training_seed,
+                mode="canvas", n_px=image_size,
+                num_workers=cfg.num_workers)
+            labeled_cycler = CyclingLoader(train_loader)
+            steps_per_epoch = len(u_loader)
+
+            def train_batches():
+                for ub in u_loader:
+                    lb = labeled_cycler.next()
+                    merged = dict(lb)
+                    merged["canvases_u"] = ub["canvases"]
+                    merged["valid_hw_u"] = ub["valid_hw"]
+                    yield merged
+        else:
+            raise NotImplementedError(f"Method {method} not implemented.")
+
+        if method != "fixmatch":
+            if twin_cycler is not None:
+                suffix = "_text" if method == "CMLP" else "_fs"
+
+                def train_batches():
+                    if method == "CMLP":
+                        for b in train_loader:
+                            t = twin_cycler.next()
+                            merged = dict(b)
+                            merged["text_features"] = t["features"]
+                            merged["text_labels"] = t["labels"]
+                            yield merged
+                    else:
+                        yield from compose_twin(iter(train_loader),
+                                                twin_cycler)
+            else:
+                def train_batches():
+                    return iter(train_loader)
+
+        # ---- validation closures
+        if frozen:
+            def validate_fn(state):
+                head_arr = _cls_head(state.head)
+                return validate_features(
+                    head_arr, state.logit_scale,
+                    val_feats["image_features"], val_feats["labels"],
+                    cfg.num_classes, loss)
+
+            def test_fn(state):
+                acc, _, _ = validate_features(
+                    _cls_head(state.head), state.logit_scale,
+                    test_feats["image_features"], test_feats["labels"],
+                    cfg.num_classes, loss)
+                return acc
+        else:
+            val_split = (cfg.test_split if method == "fixmatch"
+                         else cfg.val_split)  # reference :922-924
+
+            def validate_fn(state):
+                return self._validate_images(
+                    state.model, _cls_head(state.head), state.logit_scale,
+                    val_split, return_confusion=True)
+
+            def test_fn(state):
+                acc, _, _ = self._validate_images(
+                    state.model, _cls_head(state.head), state.logit_scale,
+                    cfg.test_split)
+                return acc
+
+        ckpt_dir = os.path.join(cfg.output_dir, "model_ckpts")
+        return train_loop(
+            cfg=cfg, state=state, step_fn=step,
+            train_batches=train_batches, steps_per_epoch=steps_per_epoch,
+            validate_fn=validate_fn, test_fn=test_fn, logger=logger,
+            loss_logger=self.loss_logger, mesh=self.mesh, method=method,
+            ckpt_dir=ckpt_dir, post_epoch=post_epoch)
+
+    def _fs_loader(self, cfg: RunConfig):
+        """Few-shot twin loader for *-fs / finetune-mixed methods
+        (reference get_retrieve_fewshot_dataloader,
+        utils/dataloader.py:138-165)."""
+        bsz = max(1, int(cfg.bsz * cfg.fewshot_ratio))
+        return TrainLoader(
+            self._samples(cfg.fewshot_data), batch_size=bsz,
+            seed=cfg.training_seed + 7, mode=cfg.aug_mode,
+            n_px=self.model_cfg.vision.image_size,
+            num_workers=cfg.num_workers)
+
+    def _flyp_post_epoch(self):
+        """Rebuild the classifier head from the updated text tower each
+        epoch (reference build_classifier_head, utils/models.py:75-82)."""
+
+        def post(state, epoch):
+            tensors = P.encode_prompts(
+                self._encode_text_fn(state.model), self.tokenized_prompts)
+            new_head = jnp.asarray(P.class_embedding_matrix(tensors))
+            return state.replace(head=new_head)
+
+        return post
+
+    def _heatmap_fn(self):
+        """CLIP attention-map heatmap for attentivemix — the TPU-native
+        replacement for the external GEM model (reference main.py:22,
+        utils/training.py:2672)."""
+        from swat_tpu.eval.heatmap import clip_attention_heatmap
+
+        model = self.model
+
+        def fn(params, images):
+            return clip_attention_heatmap(model, params, images)
+
+        return fn
+
+    # ------------------------------------------------------------------
+    # WiSE-FT (reference run_wsft_alpha, main.py:132-195)
+
+    def run_wsft_alpha(self, cfg, best_trainable, alphas=(0.5,)):
+        logger = self.logger
+        best_alpha, best_val, best_test = 0.0, -1.0, -1.0
+        best_backbone, best_head_arr = None, None
+        learned_head = _cls_head(best_trainable["head"])
+        for alpha in alphas:
+            w_head = wise_ft_head(learned_head, np.asarray(self.zeroshot_head),
+                                  alpha)
+            if cfg.freeze_visual:
+                w_backbone = best_trainable["model"]
+            else:
+                w_backbone = wise_ft_params(
+                    best_trainable["model"], self.zeroshot_params, alpha)
+            val_acc, _, _ = self._validate_images(
+                w_backbone, w_head, best_trainable["logit_scale"],
+                cfg.val_split)
+            test_acc, _, _ = self._validate_images(
+                w_backbone, w_head, best_trainable["logit_scale"],
+                cfg.test_split)
+            logger.info(f"Alpha:{round(alpha, 3)}, "
+                        f"Val Acc: {round(val_acc, 3)}, "
+                        f"Test Acc: {round(test_acc, 3)}")
+            if val_acc > best_val:
+                best_val, best_test, best_alpha = val_acc, test_acc, alpha
+                best_backbone, best_head_arr = w_backbone, w_head
+        logger.info(f"+++++ Best Alpha: {round(best_alpha, 2)}, "
+                    f"Val Acc: {round(best_val, 3)}, "
+                    f"Test Acc: {round(best_test, 3)}")
+        return best_backbone, best_head_arr, best_test
+
+    # ------------------------------------------------------------------
+    # tau normalization (reference run_tau_normalization, main.py:27-73)
+
+    def run_tau_normalization(self, cfg, head, val_feats, test_feats,
+                              logit_scale):
+        logger = self.logger
+        best_tau, best_val, best_test = 0.0, 0.0, 0.0
+        best_tau_head = np.asarray(head)
+        loss = self._loss(cfg)
+        for tau in np.arange(0.0, 2.2, 0.2):
+            tau_head = np.asarray(tau_normalize(jnp.asarray(head), tau))
+            val_acc, _, _ = validate_features(
+                tau_head, logit_scale, val_feats["image_features"],
+                val_feats["labels"], cfg.num_classes, loss)
+            test_acc, _, _ = validate_features(
+                tau_head, logit_scale, test_feats["image_features"],
+                test_feats["labels"], cfg.num_classes, loss)
+            logger.info(f"Tau: {round(tau, 2)}, "
+                        f"Val Acc: {round(val_acc, 3)}, "
+                        f"Test Acc: {round(test_acc, 3)}")
+            if val_acc > best_val:
+                best_tau, best_val, best_test = tau, val_acc, test_acc
+                best_tau_head = tau_head
+        logger.info(f"+++++ Best Tau: {round(best_tau, 1)}, "
+                    f"Val Acc: {round(best_val, 3)}, "
+                    f"Test Acc: {round(best_test, 3)}")
+        return best_tau_head, best_tau, best_test
+
+    # ------------------------------------------------------------------
+    # stage 1 (reference run_stage1_finetuning, main.py:198-398)
+
+    def run_stage1(self) -> Tuple[float, Optional[str], float]:
+        cfg = self.cfg
+        logger = self.logger
+
+        zs_acc = None
+        if cfg.check_zeroshot or cfg.method == "zeroshot":
+            logger.info("Check Zero-shot Acc ......")
+            zs_acc = self.run_zeroshot()
+        if cfg.zeroshot_only or cfg.method == "zeroshot":
+            summary = (f"{cfg.dataset},{cfg.method},{cfg.data_source},"
+                       f"{cfg.cls_init},{cfg.shots},{cfg.seed},"
+                       f"{cfg.retrieval_split},{round(zs_acc, 1)}")
+            logger.info(summary)
+            print(summary)
+            return zs_acc, None, -1.0
+
+        if cfg.skip_stage1:
+            logger.info("Skip stage 1 finetuning.")
+            return -1.0, cfg.stage1_model_path, -1.0
+
+        params, head = self.params, self.head
+        if cfg.model_path:
+            params, head, _, _ = self._load_ckpt(cfg.model_path)
+
+        state, best = self.train_method(cfg, params, head)
+        best_trainable = best.trainable
+        if cfg.method == "dataset-cls":
+            return -1.0, None, -1.0
+
+        # ---- WiSE-FT
+        wsft_backbone = wsft_head = None
+        wsft_test_acc = -1.0
+        if not cfg.no_wsft:
+            logger.info("Checking WSFT ......")
+            wsft_backbone, wsft_head, wsft_test_acc = self.run_wsft_alpha(
+                cfg, best_trainable)
+
+        # ---- re-extract features with the best model for fast tau/test
+        best_params = best_trainable["model"]
+        best_head = _cls_head(best_trainable["head"])
+        logit_scale = best_trainable["logit_scale"]
+        val_feats = extract_image_features(
+            self.model, best_params, self._eval_loader(cfg.val_split, 256),
+            self.mesh)
+        test_feats = extract_image_features(
+            self.model, best_params, self._eval_loader(cfg.test_split, 256),
+            self.mesh)
+        logger.info("Extracted val, test features for fast testing "
+                    "after training.")
+
+        loss = self._loss(cfg)
+        test_acc, _, test_cm = validate_features(
+            best_head, logit_scale, test_feats["image_features"],
+            test_feats["labels"], cfg.num_classes, loss)
+        scores = calculate_scores(test_cm)
+        logger.info(f"+++++ Test Acc: {round(test_acc, 3)}")
+        save_test_scores(scores, test_cm, cfg.output_dir, "test", stage=1)
+
+        # ---- tau normalization
+        best_tau_head, best_tau, best_tau_test_acc = None, -1, -1.0
+        if not cfg.no_tau and cfg.tau_norm:
+            logger.info("Check Tau Normalization ......")
+            best_tau_head, best_tau, best_tau_test_acc = (
+                self.run_tau_normalization(cfg, best_head, val_feats,
+                                           test_feats, logit_scale))
+
+        path = save_best_model(
+            cfg.output_dir, 1, best_records=best.records,
+            model_params=best_params, head=best_head,
+            logit_scale=logit_scale, test_acc=test_acc, best_tau=best_tau,
+            best_tau_test_acc=best_tau_test_acc,
+            wsft_test_acc=wsft_test_acc, best_tau_head=best_tau_head,
+            wsft_backbone=wsft_backbone, wsft_head=wsft_head)
+        logger.info(f"Stage 1 Best Model saved to: {path}")
+        return test_acc, path, wsft_test_acc
+
+    def _load_ckpt(self, path: str):
+        return load_best_model(path, self.params, np.asarray(self.head))
+
+    # ------------------------------------------------------------------
+    # stage 2 probing (reference run_stage2_probing, main.py:402-474)
+
+    def run_stage2_probing(self, stage1_path: str) -> float:
+        cfg = self.cfg
+        logger = self.logger
+        logger.info("Run stage 2 classifier retraining ......")
+
+        params, head, logit_scale, _ = self._load_ckpt(stage1_path)
+        params = jax.device_put(params)
+
+        stage2 = dataclasses.replace(
+            cfg, method="probing", pre_extracted=True, freeze_visual=True,
+            epochs=10, early_stop=False,
+            data_source="fewshot")
+
+        # few-shot train features (reference extracts with the *train*
+        # transform and uses the train loader as val, main.py:413-415)
+        fs_loader = EvalLoader(self._samples(cfg.fewshot_data), 128,
+                               self.model_cfg.vision.image_size,
+                               cfg.num_workers)
+        train_feats = extract_image_features(self.model, params, fs_loader,
+                                             self.mesh)
+        test_feats = extract_image_features(
+            self.model, params, self._eval_loader(cfg.test_split, 256),
+            self.mesh)
+
+        loss = self._loss(stage2)
+        train_loader = FeatureBatches(
+            train_feats["image_features"], train_feats["labels"],
+            batch_size=stage2.bsz, shuffle=True, drop_last=True,
+            seed=stage2.training_seed)
+        total_iter = len(train_loader) * stage2.epochs
+        # logit_scale resets to ln(100) for probing (reference re-runs
+        # set_params with method='probing', main.py:429)
+        state, tx = create_train_state(
+            params, head, "probing", lr_classifier=stage2.lr_classifier,
+            lr_backbone=stage2.lr_backbone, total_iter=total_iter,
+            wd=stage2.wd, optim_type=stage2.optim)
+        step = S.make_probing_step(self.model, tx, loss, True)
+
+        def validate_fn(state):
+            return validate_features(
+                state.head, state.logit_scale,
+                train_feats["image_features"], train_feats["labels"],
+                stage2.num_classes, loss)
+
+        def test_fn(state):
+            acc, _, _ = validate_features(
+                state.head, state.logit_scale,
+                test_feats["image_features"], test_feats["labels"],
+                stage2.num_classes, loss)
+            return acc
+
+        state, best = train_loop(
+            cfg=stage2, state=state, step_fn=step,
+            train_batches=lambda: iter(train_loader),
+            steps_per_epoch=len(train_loader), validate_fn=validate_fn,
+            test_fn=test_fn, logger=logger, loss_logger=self.loss_logger,
+            mesh=self.mesh, method="probing")
+
+        test_acc, _, test_cm = validate_features(
+            _cls_head(best.trainable["head"]),
+            best.trainable["logit_scale"], test_feats["image_features"],
+            test_feats["labels"], stage2.num_classes, loss)
+        scores = calculate_scores(test_cm)
+        logger.info(f"+++++ stage 2 Test Acc: {round(test_acc, 3)}")
+        save_test_scores(scores, test_cm, cfg.output_dir, "test", stage=2)
+        save_best_model(
+            cfg.output_dir, 2, best_records=best.records,
+            model_params=best.trainable["model"],
+            head=_cls_head(best.trainable["head"]),
+            logit_scale=best.trainable["logit_scale"], test_acc=test_acc)
+        return test_acc
+
+    # ------------------------------------------------------------------
+    # stage 2 FSFT (reference run_stage2_FSFT, main.py:478-540)
+
+    def run_stage2_fsft(self, stage1_path: str) -> float:
+        cfg = self.cfg
+        logger = self.logger
+        logger.info("Run stage 2 few-shot finetuning ......")
+
+        params, head, logit_scale, _ = self._load_ckpt(stage1_path)
+        stage2 = dataclasses.replace(
+            cfg, method="finetune", pre_extracted=False,
+            freeze_visual=False, epochs=10, early_stop=False,
+            save_ckpt=False, data_source="fewshot")
+
+        state, best = self.train_method(stage2, params, head)
+        test_acc, _, test_cm = self._validate_images(
+            best.trainable["model"], _cls_head(best.trainable["head"]),
+            best.trainable["logit_scale"], cfg.test_split,
+            return_confusion=True)
+        scores = calculate_scores(test_cm)
+        logger.info(f"+++++ Stage 2 FSFT Test Acc: {round(test_acc, 3)}")
+        save_test_scores(scores, test_cm, cfg.output_dir, "test", stage=3)
+        save_best_model(
+            cfg.output_dir, 3, best_records=best.records,
+            model_params=best.trainable["model"],
+            head=_cls_head(best.trainable["head"]),
+            logit_scale=best.trainable["logit_scale"], test_acc=test_acc)
+        return test_acc
+
+    # ------------------------------------------------------------------
+    # full run (reference __main__, main.py:544-606)
+
+    def run(self) -> str:
+        cfg = self.cfg
+        start = time.time()
+        stage1_method = cfg.method
+
+        stage1_acc, stage1_path, wsft_acc = self.run_stage1()
+        if cfg.zeroshot_only or cfg.method == "zeroshot":
+            return ""
+
+        stage2_lp_acc = -1.0
+        stage2_fsft_acc = -1.0
+        if not cfg.skip_stage2 and stage1_path:
+            stage2_lp_acc = self.run_stage2_probing(stage1_path)
+            stage2_fsft_acc = self.run_stage2_fsft(stage1_path)
+        else:
+            self.logger.info("Skip stage 2.")
+
+        self.logger.info(
+            f"Total time: {round((time.time() - start) / 60, 1)} mins.")
+        summary = (f"{cfg.dataset},{stage1_method},{cfg.data_source},"
+                   f"{cfg.cls_init},{cfg.shots},{cfg.seed},"
+                   f"{cfg.retrieval_split},{round(stage1_acc, 1)},"
+                   f"{round(wsft_acc, 1)},{round(stage2_lp_acc, 1)},"
+                   f"{round(stage2_fsft_acc, 1)}")
+        self.logger.info(summary)
+        print(summary)
+        return summary
+
+
+def _cls_head(head):
+    """The classification head array (multitask stores {'cls','dataset'})."""
+    if isinstance(head, dict):
+        return head["cls"]
+    return head
+
+
+def _flatten_prompt_bank(prompt_tensors):
+    """All prompt embeddings + class labels (reference TextTensorDataset,
+    utils/datasets/dataset_utils.py:258-279)."""
+    feats, labels = [], []
+    for cid in sorted(prompt_tensors, key=int):
+        f = np.asarray(prompt_tensors[cid]["all"])
+        feats.append(f)
+        labels.append(np.full(f.shape[0], int(cid), np.int32))
+    return np.concatenate(feats, 0), np.concatenate(labels, 0)

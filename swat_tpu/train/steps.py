@@ -297,19 +297,39 @@ def make_dataset_cls_step(model: CLIPModel, tx,
 
 
 def make_fixmatch_step(model: CLIPModel, tx, *, threshold: float = 0.95,
-                       lambda_u: float = 1.0):
+                       lambda_u: float = 1.0, image_size: int = 224):
     """FixMatch (reference train_fixmatch, utils/training.py:820-983):
     labeled CE + confidence-masked consistency between weak/strong views.
-    Batch needs images (labeled), images_w, images_s (unlabeled views,
-    already augmented — strong view via kernels.randaugment)."""
+    The weak/strong unlabeled views are produced on-device from one set of
+    canvases ('canvases_u'/'valid_hw_u'): weak = RRC+flip, strong =
+    RRC+flip+RandAugment(2,10) (reference TransformFixMatch,
+    utils/extras.py:41-63).  Pre-augmented 'images'/'images_w'/'images_s'
+    are also accepted."""
+    from swat_tpu.kernels.randaugment import rand_augment
 
     @functools.partial(jax.jit, donate_argnums=0)
     def step(state: TrainState, batch, key):
+        k_l, k_w, k_s, k_ra = jax.random.split(key, 4)
+
         def loss_fn(trainable):
-            n_l = batch["images"].shape[0]
+            images_l = _get_images(batch, k_l, image_size)
+            if "canvases_u" in batch:
+                uc, uhw = batch["canvases_u"], batch["valid_hw_u"]
+                k_wc, k_wf = jax.random.split(k_w)
+                k_sc, k_sf = jax.random.split(k_s)
+                w_px = aug.random_hflip(aug.random_resized_crop(
+                    uc, uhw, k_wc, image_size), k_wf)
+                s_px = aug.random_hflip(aug.random_resized_crop(
+                    uc, uhw, k_sc, image_size), k_sf)
+                s_px = rand_augment(s_px, k_ra, n=2, m=10,
+                                    cutout=image_size // 2)
+                images_w = aug._normalize_float_pixels(w_px)
+                images_s = aug._normalize_float_pixels(s_px)
+            else:
+                images_w, images_s = batch["images_w"], batch["images_s"]
+            n_l = images_l.shape[0]
             all_images = jnp.concatenate(
-                [batch["images"], batch["images_w"], batch["images_s"]],
-                axis=0)
+                [images_l, images_w, images_s], axis=0)
             feats = _encode(model, trainable["model"], all_images)
             logits = head_logits(trainable["head"], feats)
             logits_l = logits[:n_l]

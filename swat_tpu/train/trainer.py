@@ -1,0 +1,145 @@
+"""Generic epoch-loop driver with best-model tracking.
+
+One loop serves all 18 methods (the reference repeats this loop per trainer
+in utils/training.py); the semantics preserved exactly:
+
+* per-iteration scheduler stepping (inside the jitted step);
+* validation either every epoch or only when ``early_stop``/last epoch —
+  per-method, matching each reference trainer (see VALIDATE_EVERY_EPOCH);
+* best snapshot when ``val_acc >= best_val_acc`` (ties move forward,
+  reference utils/training.py:1506);
+* loss.csv line per epoch with -1 placeholders before first validation;
+* ``stop_epochs`` early break; periodic ckpt on iter % save_freq.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from swat_tpu.core.mesh import shard_batch
+from swat_tpu.eval.metrics import calculate_scores
+from swat_tpu.train.checkpoint import save_train_ckpt
+
+# methods whose reference trainer validates every epoch (ungated)
+VALIDATE_EVERY_EPOCH = {
+    "probing", "REAL-Linear", "finetune-mixed", "mixup", "mixup-fs",
+    "cutmix-fs", "resizemix", "attentivemix",
+}
+
+
+@dataclasses.dataclass
+class BestSnapshot:
+    trainable: Any = None        # {'model','head','logit_scale'} host copy
+    records: Dict = dataclasses.field(default_factory=dict)
+    val_acc: float = -1.0
+
+
+def snapshot_trainable(state) -> Any:
+    """Host copy of the best trainable tree (the reference deep-copies the
+    model per improvement, utils/training.py:1514-1515)."""
+    return jax.tree_util.tree_map(np.asarray, state.trainable)
+
+
+def compose_twin(primary: Iterable[dict], twin_cycler, suffix: str = "_fs"):
+    """Merge each primary batch with a cycled twin batch under ``suffix``
+    (the reference two-loader pattern, utils/training.py:724-737)."""
+    for batch in primary:
+        twin = twin_cycler.next()
+        merged = dict(batch)
+        merged.update({f"{k}{suffix}": v for k, v in twin.items()})
+        yield merged
+
+
+def train_loop(
+    *,
+    cfg,
+    state,
+    step_fn: Callable,
+    train_batches: Callable[[], Iterable[dict]],
+    steps_per_epoch: int,
+    validate_fn: Callable,          # (state) -> (val_acc, val_loss, cm)
+    test_fn: Callable,              # (state) -> test_acc
+    logger,
+    loss_logger=None,
+    mesh=None,
+    method: Optional[str] = None,
+    ckpt_dir: Optional[str] = None,
+    post_epoch: Optional[Callable] = None,   # e.g. FLYP head rebuild
+):
+    """Runs cfg.epochs epochs; returns (final_state, BestSnapshot)."""
+    method = method or cfg.method
+    every_epoch = method in VALIDATE_EVERY_EPOCH
+    key = jax.random.PRNGKey(cfg.training_seed)
+
+    best = BestSnapshot()
+    num_iter = 0
+    val_acc, val_loss, test_acc = -1.0, -1.0, -1.0
+
+    for epoch in range(1, cfg.epochs + 1):
+        train_loss_sum = 0.0
+        for batch in train_batches():
+            num_iter += 1
+            key, sub = jax.random.split(key)
+            if mesh is not None:
+                batch = shard_batch(mesh, batch)
+            state, loss = step_fn(state, batch, sub)
+            train_loss_sum += float(loss)
+
+        if post_epoch is not None:
+            state = post_epoch(state, epoch)
+
+        do_validate = every_epoch or cfg.early_stop or epoch == cfg.epochs
+        if do_validate:
+            val_acc, val_loss, cm = validate_fn(state)
+            scores = calculate_scores(cm) if cm is not None else {}
+            if val_acc >= best.val_acc:
+                best.val_acc = val_acc
+                best.trainable = snapshot_trainable(state)
+                best.records = {
+                    "best_val_acc": val_acc,
+                    "best_logit_scale": float(np.asarray(state.logit_scale)),
+                    "best_epoch": epoch,
+                    "best_iter": num_iter,
+                    "best_scores": scores,
+                    "best_confusion_matrix": cm,
+                }
+            test_acc = test_fn(state)
+
+        train_loss_avg = train_loss_sum / max(steps_per_epoch, 1)
+        if loss_logger is not None:
+            loss_logger.write(
+                f"{epoch},{num_iter},{round(train_loss_avg, 6)},"
+                f"{round(val_loss, 6)},{round(val_acc, 6)},"
+                f"{round(test_acc, 6)}\n")
+            loss_logger.flush()
+        logger.info(
+            f"Epoch {epoch}, Iter {num_iter}, "
+            f"Trn Loss: {round(train_loss_avg, 6)}, "
+            f"Val Loss: {round(val_loss, 6)}, "
+            f"Val Acc: {round(val_acc, 3)}, Test Acc: {round(test_acc, 3)}")
+
+        if cfg.save_ckpt and ckpt_dir and (
+                num_iter % cfg.save_freq == 0 or epoch == cfg.epochs):
+            path = save_train_ckpt(ckpt_dir, f"ep{epoch}_it{num_iter}",
+                                   state, best.records)
+            logger.info(f"Model ckpt saved to: {path}")
+
+        if epoch == cfg.stop_epochs:
+            break
+
+    if best.trainable is None:  # epochs == 0 edge: keep current weights
+        best.trainable = snapshot_trainable(state)
+        best.records = {"best_val_acc": val_acc, "best_epoch": -1,
+                        "best_iter": num_iter, "best_scores": {},
+                        "best_confusion_matrix": None,
+                        "best_logit_scale": float(
+                            np.asarray(state.logit_scale))}
+    logger.info(
+        f"Training done. Best val Acc: {round(best.val_acc, 3)} at epoch "
+        f"{best.records.get('best_epoch', -1)}, "
+        f"iter {best.records.get('best_iter', -1)}")
+    return state, best

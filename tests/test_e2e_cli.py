@@ -1,0 +1,156 @@
+"""End-to-end pipeline tests on a synthetic 3-class dataset with the tiny
+model: zero-shot CLI run, and the full SWAT flow (stage-1 cutmix ->
+WiSE-FT -> tau-norm -> stage-2 probing + FSFT) producing the reference's
+CSV summary line and output artifacts."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from swat_tpu.core.config import RunConfig
+from swat_tpu.data.registry import NUM_CLASSES_DICT
+from swat_tpu.data.prompts import TEMPLATES
+
+DATASET = "test3"
+NUM_CLASSES = 3
+
+
+@pytest.fixture(scope="module", autouse=True)
+def register_dataset():
+    NUM_CLASSES_DICT[DATASET] = NUM_CLASSES
+    TEMPLATES[DATASET] = ["a photo of a {}."]
+    yield
+    NUM_CLASSES_DICT.pop(DATASET, None)
+    TEMPLATES.pop(DATASET, None)
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory):
+    """data/test3 with fewshot4_seed1.txt, test.txt, retrieved split,
+    metrics json, and class-colored images (learnable by color)."""
+    rng = np.random.default_rng(0)
+    base = tmp_path_factory.mktemp("data")
+    root = base / DATASET
+    os.makedirs(root / "imgs")
+
+    colors = np.asarray([[220, 40, 40], [40, 220, 40], [40, 40, 220]])
+
+    def make_img(path, label):
+        arr = (colors[label] + rng.integers(-30, 30, (40, 48, 3))
+               ).clip(0, 255).astype(np.uint8)
+        Image.fromarray(arr).save(path)
+
+    def write_split(name, n_per_class, fewshot, prefix):
+        lines = []
+        for c in range(NUM_CLASSES):
+            for i in range(n_per_class):
+                fname = f"imgs/{prefix}_{c}_{i}.jpg"
+                make_img(root / fname, c)
+                lines.append(f"{fname} {c} {fewshot}")
+        with open(root / name, "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    write_split("fewshot4_seed1.txt", 4, 1, "fs")
+    write_split("test.txt", 6, 0, "te")
+    # retrieved data lives under retrieved_path/<dataset>; here same root
+    write_split("T2T30.txt", 10, 0, "rt")
+
+    metrics = {str(c): {"name": f"class{c}", "most_common_name":
+                        ["red thing", "green thing", "blue thing"][c],
+                        "alternates": {f"class{c}": 3}}
+               for c in range(NUM_CLASSES)}
+    with open(root / f"{DATASET}_metrics-LAION400M.json", "w") as f:
+        json.dump(metrics, f)
+    return str(base)
+
+
+def make_cfg(dataset_dir, tmp_path, **kw):
+    defaults = dict(
+        dataset=DATASET, model_cfg="test_tiny", shots=4, seed=1,
+        training_seed=1, dataset_path=dataset_dir,
+        retrieved_path=dataset_dir, folder=str(tmp_path / "output"),
+        bsz=4, num_workers=4, epochs=2, mesh_data=1, mesh_model=1,
+        retrieval_split="T2T30.txt")
+    defaults.update(kw)
+    return RunConfig(**defaults).derived()
+
+
+def test_zeroshot_flow(dataset_dir, tmp_path, capsys):
+    from swat_tpu.train.stages import SwatPipeline
+
+    cfg = make_cfg(dataset_dir, tmp_path, method="zeroshot")
+    pipe = SwatPipeline(cfg)
+    pipe.run()
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    parts = out.split(",")
+    assert parts[0] == DATASET and parts[1] == "zeroshot"
+    assert float(parts[-1]) >= 0.0
+    assert os.path.exists(os.path.join(cfg.output_dir, "loss.csv"))
+
+
+def test_full_swat_flow(dataset_dir, tmp_path, capsys):
+    """stage-1 cutmix on fewshot+retrieved, stage-2 probing + FSFT."""
+    from swat_tpu.train.stages import SwatPipeline
+
+    cfg = make_cfg(dataset_dir, tmp_path, method="cutmix",
+                   data_source="fewshot+retrieved", epochs=2,
+                   lr_classifier=1e-2, lr_backbone=1e-4)
+    pipe = SwatPipeline(cfg)
+    summary = pipe.run()
+    parts = summary.split(",")
+    # dataset,method,source,cls_init,shots,seed,split,s1,wsft,s2lp,s2fsft
+    assert len(parts) == 11
+    assert parts[1] == "cutmix"
+    stage1_acc, wsft_acc = float(parts[7]), float(parts[8])
+    s2lp, s2fsft = float(parts[9]), float(parts[10])
+    for v in (stage1_acc, wsft_acc, s2lp, s2fsft):
+        assert 0.0 <= v <= 100.001
+
+    od = cfg.output_dir
+    assert os.path.exists(os.path.join(od, "stage1_test_scores.json"))
+    assert os.path.exists(os.path.join(od, "stage2_test_scores.json"))
+    assert os.path.exists(os.path.join(od, "stage3_test_scores.json"))
+    # loss.csv has header + >= epochs lines
+    lines = open(os.path.join(od, "loss.csv")).read().strip().splitlines()
+    assert lines[0] == "Epoch,Iter,Train_loss,Val_loss,Val_acc,Test_acc"
+    assert len(lines) > cfg.epochs
+    # a stage-1 best bundle exists and reloads
+    bundles = [f for f in os.listdir(od) if f.startswith("stage1_model")
+               and f.endswith(".msgpack")]
+    assert bundles
+    from swat_tpu.train.checkpoint import load_best_model
+
+    params, head, ls, meta = load_best_model(
+        os.path.join(od, bundles[0]), pipe.params, np.asarray(pipe.head))
+    assert meta["test_acc"] >= 0
+    assert np.asarray(head).shape == (NUM_CLASSES, 32)
+
+
+def test_probing_method_flow(dataset_dir, tmp_path):
+    from swat_tpu.train.stages import SwatPipeline
+
+    cfg = make_cfg(dataset_dir, tmp_path, method="probing",
+                   data_source="fewshot", epochs=3, lr_classifier=1e-2,
+                   skip_stage2=True)
+    pipe = SwatPipeline(cfg)
+    acc, path, wsft = pipe.run_stage1()
+    assert 0.0 <= acc <= 100.001
+    assert path and os.path.exists(path)
+
+
+def test_cli_parse_matches_reference_flags(dataset_dir, tmp_path):
+    from swat_tpu.cli.main import parse_config
+
+    cfg = parse_config([
+        "--dataset", "semi-aves", "--method", "cutmix",
+        "--data_source", "fewshot+retrieved", "--shots", "4",
+        "--seed", "2", "--epochs", "50", "--bsz", "32",
+        "--cls_init", "REAL-Prompt", "--log_mode", "file"])
+    assert cfg.dataset == "semi-aves"
+    assert cfg.prompt_name == "most_common_name"  # derived from cls_init
+    assert not cfg.freeze_visual
+    train_files, train_dirs = cfg.train_split
+    assert train_files == ["fewshot4_seed2.txt", "T2T500+T2I0.25.txt"]
