@@ -1,0 +1,132 @@
+"""Embedding ranking on the mesh — the retrieval pipeline's compute core.
+
+The reference ranks per class with small GPU matmuls in a python loop
+(reference retrieval/sample_retrieval.py:335-416,724-771).  Here ranking is
+a single jitted (optionally mesh-sharded) matmul over the padded
+[num_classes, max_candidates] similarity matrix + lax.top_k — the
+"sharded embedding matmul + distributed top-k" north star (BASELINE.json).
+
+Variable per-class candidate counts become fixed shapes by padding with
+-inf-masked rows (SURVEY.md §7 'Dynamic shapes').
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def t2t_similarity(class_prompts: np.ndarray,
+                   caption_embeddings: np.ndarray) -> np.ndarray:
+    """[P, D] x [N, D] -> [N]; mean over prompts when P > 1 (reference
+    t2t_similarity, sample_retrieval.py:397-416)."""
+    sim = jnp.matmul(jnp.asarray(caption_embeddings),
+                     jnp.asarray(class_prompts).T, precision="highest")
+    if sim.ndim > 1 and sim.shape[-1] > 1:
+        sim = sim.mean(axis=-1)
+    return np.asarray(sim).reshape(-1)
+
+
+def t2i_similarity(class_prompts: np.ndarray,
+                   image_embeddings: np.ndarray) -> np.ndarray:
+    """Same kernel against image embeddings (sample_retrieval.py:335-353)."""
+    return t2t_similarity(class_prompts, image_embeddings)
+
+
+def i2i_similarity(fewshot_embeddings: np.ndarray,
+                   image_embeddings: np.ndarray) -> np.ndarray:
+    """Mean similarity to the few-shot exemplars
+    (sample_retrieval.py:356-394)."""
+    sim = jnp.matmul(jnp.asarray(image_embeddings),
+                     jnp.asarray(fewshot_embeddings).T, precision="highest")
+    return np.asarray(sim.mean(axis=-1)).reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# batched whole-dataset ranking
+
+
+def rank_candidates(prompt_matrix: np.ndarray,
+                    candidate_embeddings: np.ndarray,
+                    candidate_class: np.ndarray,
+                    top_k: int,
+                    mesh=None) -> Tuple[np.ndarray, np.ndarray]:
+    """One fused pass over ALL classes' candidates.
+
+    prompt_matrix:       [C, D]  (per-class mean prompt embeddings)
+    candidate_embeddings:[N, D]  (caption or image embeddings)
+    candidate_class:     [N]     class id per candidate
+    Returns (top_idx [C, top_k] indices into N, top_sim [C, top_k]);
+    entries beyond a class's candidate count hold -1 / -inf.
+    """
+    C = prompt_matrix.shape[0]
+
+    @jax.jit
+    def run(prompts, cands, cls_ids):
+        sims = jnp.einsum("cd,nd->cn", prompts, cands, precision="highest",
+                          preferred_element_type=jnp.float32)
+        mask = cls_ids[None, :] == jnp.arange(C)[:, None]
+        sims = jnp.where(mask, sims, -jnp.inf)
+        top_sim, top_idx = jax.lax.top_k(sims, top_k)
+        top_idx = jnp.where(jnp.isfinite(top_sim), top_idx, -1)
+        return top_idx, top_sim
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        candidate_embeddings = jax.device_put(
+            candidate_embeddings, NamedSharding(mesh, P(None, None)))
+    top_idx, top_sim = run(jnp.asarray(prompt_matrix, jnp.float32),
+                           jnp.asarray(candidate_embeddings, jnp.float32),
+                           jnp.asarray(candidate_class, jnp.int32))
+    return np.asarray(top_idx), np.asarray(top_sim)
+
+
+def near_duplicate_indices(embeddings: np.ndarray,
+                           threshold: float = 0.9,
+                           block: int = 4096) -> np.ndarray:
+    """Indices j to drop where sim(i, j) > threshold for some i < j
+    (reference remove_near_duplicates2, sample_retrieval.py:237-275),
+    computed in blocks so the NxN matrix never materializes."""
+    n = embeddings.shape[0]
+    emb = jnp.asarray(embeddings, jnp.float32)
+    drop = np.zeros(n, bool)
+
+    @jax.jit
+    def block_pair(a, b, ia, ib):
+        sims = jnp.matmul(a, b.T, precision="highest")
+        rows = ia + jnp.arange(a.shape[0])[:, None]
+        cols = ib + jnp.arange(b.shape[0])[None, :]
+        hit = (sims > threshold) & (rows < cols)
+        return hit.any(axis=0)
+
+    for jb in range(0, n, block):
+        b = emb[jb: jb + block]
+        col_hit = np.zeros(b.shape[0], bool)
+        for ib in range(0, min(jb + block, n), block):
+            a = emb[ib: ib + block]
+            col_hit |= np.asarray(block_pair(a, b, ib, jb))
+        drop[jb: jb + b.shape[0]] |= col_hit
+    return np.where(drop)[0]
+
+
+def zeroshot_misclassified(embeddings: np.ndarray, labels: np.ndarray,
+                           head: np.ndarray,
+                           batch: int = 8192) -> np.ndarray:
+    """Indices whose zero-shot prediction != label (reference
+    zeroshot_clip_img_filter, sample_retrieval.py:278-329)."""
+    emb = jnp.asarray(embeddings, jnp.float32)
+    hd = jnp.asarray(head, jnp.float32)
+
+    @jax.jit
+    def preds_of(x):
+        return jnp.argmax(jnp.matmul(x, hd.T, precision="highest"), axis=-1)
+
+    preds = []
+    for i in range(0, emb.shape[0], batch):
+        preds.append(np.asarray(preds_of(emb[i: i + batch])))
+    preds = np.concatenate(preds) if preds else np.empty(0, np.int64)
+    return np.where(preds != np.asarray(labels))[0]

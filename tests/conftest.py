@@ -6,7 +6,11 @@ executes as real SPMD over 8 host devices (SURVEY.md §4).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: this environment exports JAX_PLATFORMS=axon (the TPU plugin) and
+# pre-imports jax, so setdefault is not enough — override both platform
+# vars outright to keep tests on the virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,209 @@
+"""Retrieval subsystem: string matching (python + C++ engines agree),
+most-common-name rules, embedding ranking, dedup, samplers, split writer."""
+
+import os
+
+import numpy as np
+import pytest
+
+from swat_tpu.retrieval import rank as R
+from swat_tpu.retrieval import stringmatch as SM
+from swat_tpu.retrieval.sampler import (
+    MinedPool,
+    sample_retrieved,
+    write_split_file,
+)
+
+CAPTIONS = [
+    "A photo of a Semipalmated Plover on the beach",
+    "semipalmated-plover in flight",
+    "Violet-green Swallow perched on a wire",
+    "a violet green swallow",
+    "the green swallow flies",
+    "Honda Accord 2012 for sale",
+    "2012 Honda Accord review",
+    "my dog charlie",
+    "plover",
+]
+
+
+def test_clean_text():
+    assert SM.clean_text("Violet-green  Swallow") == "violet green swallow"
+    assert SM.clean_text("  Don't-Stop_Me ") == "dont stop me"
+
+
+def test_python_index_and_query():
+    idx = SM.CaptionIndex(CAPTIONS)
+    hits = idx.query("semipalmated plover")
+    assert set(hits.tolist()) == {0, 1}
+    # hyphenated caption matches space-separated query
+    hits = idx.query("violet green swallow")
+    assert set(hits.tolist()) == {2, 3}
+    assert idx.query("nonexistent thing").size == 0
+
+
+def test_phrase_query():
+    idx = SM.CaptionIndex(CAPTIONS)
+    # AND-match finds both orders; phrase only adjacent in-order
+    both = idx.query("honda accord 2012")
+    assert set(both.tolist()) == {5, 6}
+    phrase = idx.query("honda accord 2012", phrase=True)
+    assert set(phrase.tolist()) == {5}
+
+
+def test_native_index_matches_python():
+    pytest.importorskip("ctypes")
+    from swat_tpu.retrieval.indexer import build_library, NativeCaptionIndex
+
+    if build_library() is None:
+        pytest.skip("g++ unavailable")
+    py = SM.CaptionIndex(CAPTIONS)
+    cc = NativeCaptionIndex(CAPTIONS)
+    assert len(cc) == len(CAPTIONS)
+    for q, phrase in [("semipalmated plover", False),
+                      ("violet green swallow", False),
+                      ("honda accord 2012", True),
+                      ("green swallow", False),
+                      ("plover", False),
+                      ("nothing here matches", False)]:
+        np.testing.assert_array_equal(
+            np.sort(py.query(q, phrase)), np.sort(cc.query(q, phrase)),
+            err_msg=q)
+
+
+def test_match_class_synonyms_dedup():
+    idx = SM.CaptionIndex(CAPTIONS)
+    metrics = {"name": "Semipalmated Plover",
+               "alternates": {"Semipalmated Plover": 0, "plover": 0}}
+    m, matches = SM.match_class_synonyms(idx, metrics)
+    # counts updated; captions deduped across synonyms
+    assert m["alternates"]["plover"] == 3  # captions 0,1,8 contain plover
+    cids = [cid for _, cid in matches]
+    assert len(cids) == len(set(cids))
+    assert set(cids) == {0, 1, 8}
+
+
+def test_find_most_common_name_relaxed_subset_rule():
+    # subset synonym with higher freq must NOT win under RELAXED
+    metrics = {"name": "green lacewing",
+               "alternates": {"green lacewing": 10, "lacewing": 100}}
+    assert SM.find_most_common_name(metrics, "RELAXED") == "green lacewing"
+    assert SM.find_most_common_name(metrics, "STRICT") == "lacewing"
+    # permutation DOES win
+    metrics = {"name": "Honda Accord 2012",
+               "alternates": {"Honda Accord 2012": 5,
+                              "2012 Honda Accord": 50}}
+    assert SM.find_most_common_name(metrics, "RELAXED") == "2012 Honda Accord"
+    # non-subset higher-freq synonym wins
+    metrics = {"name": "Charadrius semipalmatus",
+               "alternates": {"Charadrius semipalmatus": 37,
+                              "Semipalmated Plover": 365}}
+    assert SM.find_most_common_name(metrics) == "Semipalmated Plover"
+
+
+# ---------------------------------------------------------------------------
+# ranking
+
+
+def test_t2t_similarity_mean_over_prompts(rng):
+    prompts = rng.normal(size=(3, 8)).astype(np.float32)
+    caps = rng.normal(size=(5, 8)).astype(np.float32)
+    sim = R.t2t_similarity(prompts, caps)
+    ref = (caps @ prompts.T).mean(axis=-1)
+    np.testing.assert_allclose(sim, ref, rtol=1e-4)
+
+
+def test_rank_candidates_per_class(rng):
+    D, C = 8, 3
+    prompts = np.eye(C, D).astype(np.float32)
+    cands = rng.normal(size=(30, D)).astype(np.float32) * 0.01
+    cls = np.repeat(np.arange(C), 10)
+    # plant one strong candidate per class
+    for c in range(C):
+        cands[c * 10 + 3] = prompts[c]
+    top_idx, top_sim = R.rank_candidates(prompts, cands, cls, top_k=2)
+    for c in range(C):
+        assert top_idx[c, 0] == c * 10 + 3
+        # top-1 similarity ~1
+        assert top_sim[c, 0] == pytest.approx(1.0, abs=1e-3)
+        # candidates never leak across classes
+        assert (top_idx[c] // 10 == c).all()
+
+
+def test_near_duplicate_indices(rng):
+    base = rng.normal(size=(6, 16)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=-1, keepdims=True)
+    emb = np.concatenate([base, base[:2] + 1e-4])  # 6,7 duplicate 0,1
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    drop = R.near_duplicate_indices(emb, threshold=0.9, block=3)
+    assert set(drop.tolist()) == {6, 7}
+
+
+def test_zeroshot_misclassified(rng):
+    head = np.eye(3, 8).astype(np.float32)
+    emb = np.stack([head[0], head[1], head[2], head[0]]).astype(np.float32)
+    labels = np.array([0, 1, 2, 2])  # last one is misclassified as 0
+    bad = R.zeroshot_misclassified(emb, labels, head)
+    assert bad.tolist() == [3]
+
+
+# ---------------------------------------------------------------------------
+# samplers
+
+
+@pytest.fixture
+def pool(rng):
+    C, PER, D = 3, 20, 16
+    prompts = {str(c): {"mean": np.eye(C, D)[c].astype(np.float32)}
+               for c in range(C)}
+    labels = np.repeat(np.arange(C), PER)
+    n = C * PER
+    img = rng.normal(size=(n, D)).astype(np.float32) * 0.01
+    cap = rng.normal(size=(n, D)).astype(np.float32) * 0.01
+    # make candidate quality proportional to index within class
+    for c in range(C):
+        for i in range(PER):
+            w = i / PER
+            cap[c * PER + i] += w * np.eye(C, D)[c]
+            img[c * PER + i] += w * np.eye(C, D)[c]
+    files = [f"/pool/{c}/{i:05d}.jpg" for c in range(C) for i in range(PER)]
+    return MinedPool(files, labels, img, cap), prompts
+
+
+def test_t2t_rank_sampler(pool):
+    mined, prompts = pool
+    res = sample_retrieved(mined, prompts, "T2T-rank", num_samples=5)
+    assert all(v == 5 for v in res["num_sampled"].values())
+    # best-ranked candidates (highest index) selected first
+    assert res["file_list"][0].endswith("00019.jpg")
+    assert len(res["file_list"]) == 15
+
+
+def test_t2t_t2i_threshold_filters(pool):
+    mined, prompts = pool
+    res = sample_retrieved(mined, prompts, "T2T-rank-T2I-tshd",
+                           num_samples=20, t2i_threshold=0.5)
+    # only candidates with img-sim >= 0.5 survive (w >= ~0.55 of 20)
+    assert all(v < 20 for v in res["num_sampled"].values())
+    assert len(res["filtered_info"]) > 0
+
+
+def test_random_sampler_and_split_writer(pool, tmp_path):
+    mined, prompts = pool
+    res = sample_retrieved(mined, prompts, "Random", num_samples=4, seed=3)
+    path = str(tmp_path / "T2T4.txt")
+    write_split_file(path, res["file_list"], res["label_list"],
+                     relative_to="/pool")
+    lines = open(path).read().strip().splitlines()
+    assert len(lines) == 12
+    p, lbl, src = lines[0].split(" ")
+    assert src == "0" and not p.startswith("/")
+
+
+def test_i2i_sampler(pool, rng):
+    mined, prompts = pool
+    fs = {c: np.eye(3, 16)[c: c + 1].astype(np.float32) for c in range(3)}
+    res = sample_retrieved(mined, prompts, "I2I-rank", num_samples=3,
+                           fewshot_feats_by_class=fs)
+    assert len(res["file_list"]) == 9
+    assert res["file_list"][0].endswith("00019.jpg")
