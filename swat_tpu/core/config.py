@@ -112,6 +112,10 @@ class RunConfig:
     use_pallas: bool = False
     remat: bool = False
     compute_dtype: str = "float32"            # reference parity default
+    # resident-dataset scan execution: whole epoch / whole eval as one
+    # device program (swat_tpu.train.scan_loop)
+    resident: str = "auto"                    # 'auto' | 'on' | 'off'
+    resident_budget_bytes: int = 6_000_000_000
 
     # ------------------------------------------------------------------
     # derived (reference utils/parser.py:154-216)

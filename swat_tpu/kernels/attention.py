@@ -51,9 +51,10 @@ def multi_head_attention(q, k, v, *, causal: bool = False,
 
     q, k, v: [B, H, S, D]
     """
-    if use_pallas and jax.default_backend() == "tpu":
+    if use_pallas:
         from swat_tpu.kernels.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, causal=causal)
+        interpret = jax.default_backend() != "tpu"
+        return flash_attention(q, k, v, causal=causal, interpret=interpret)
     return _attention_xla(q, k, v, causal=causal, accum_dtype=accum_dtype,
                           matmul_precision=matmul_precision)

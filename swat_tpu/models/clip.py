@@ -255,8 +255,13 @@ class CLIPModel(nn.Module):
     use_pallas: bool = False
 
     def setup(self):
-        self.visual = VisionTower(self.cfg.vision, self.precision,
-                                  self.remat, self.use_pallas)
+        from swat_tpu.models.resnet import ModifiedResNet, ResNetConfig
+
+        if isinstance(self.cfg.vision, ResNetConfig):
+            self.visual = ModifiedResNet(self.cfg.vision, self.precision)
+        else:
+            self.visual = VisionTower(self.cfg.vision, self.precision,
+                                      self.remat, self.use_pallas)
         self.text = TextTower(self.cfg.text, self.precision,
                               self.remat, self.use_pallas)
 

@@ -92,6 +92,21 @@ MODEL_REGISTRY = {
     "vitb16_openclip_openai": _vit("ViT-B-16", 16, 768, 12, 12, 512, True),
 }
 
+def _rn50(name):
+    from swat_tpu.models.resnet import ResNetConfig
+
+    return CLIPConfig(
+        name=name,
+        vision=ResNetConfig(image_size=224, width=64, layers=(3, 4, 6, 3),
+                            embed_dim=1024, heads=32, quick_gelu=True),
+        text=TextConfig(width=512, heads=8, layers=12, embed_dim=1024,
+                        quick_gelu=True),
+    )
+
+
+MODEL_REGISTRY["rn50_openclip_openai"] = _rn50("RN50")
+MODEL_REGISTRY["rn50_clip"] = _rn50("RN50")
+
 # tiny config for unit tests (not in the reference)
 MODEL_REGISTRY["test_tiny"] = CLIPConfig(
     name="test-tiny",

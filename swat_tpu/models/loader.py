@@ -78,6 +78,25 @@ def torch_state_dict_to_params(sd: Mapping[str, Any],
     """Returns (flax params dict, logit_scale scalar)."""
     sd = {k.removeprefix("module."): v for k, v in sd.items()}
 
+    if "visual.layer1.0.conv1.weight" in sd:  # ModifiedResNet visual tower
+        params = {
+            "visual": torch_rn50_visual_to_params(sd),
+            "text": {
+                "token_embedding": _np(
+                    sd["token_embedding.weight"]).astype(np.float32),
+                "positional_embedding": _np(
+                    sd["positional_embedding"]).astype(np.float32),
+                "ln_final": {"ln": {
+                    "scale": _np(sd["ln_final.weight"]).astype(np.float32),
+                    "bias": _np(sd["ln_final.bias"]).astype(np.float32)}},
+                "text_projection": _np(
+                    sd["text_projection"]).astype(np.float32),
+                "transformer": {"blocks": _convert_blocks(
+                    sd, "transformer.resblocks.", text_layers)},
+            },
+        }
+        return params, float(_np(sd["logit_scale"]).reshape(()))
+
     conv1 = _np(sd["visual.conv1.weight"]).astype(np.float32)  # [w,3,p,p]
     w, c, p, _ = conv1.shape
     # (out,in,kh,kw) -> (kh,kw,in) flattened, matching the NHWC unfold order
@@ -165,6 +184,56 @@ def params_to_torch_state_dict(params: Mapping[str, Any],
             out[f"{pre}.mlp.c_proj.bias"] = np.asarray(
                 blocks["mlp"]["proj"]["bias"])[i]
     return out
+
+
+def fold_bn(sd: Mapping[str, Any], prefix: str, eps: float = 1e-5):
+    """BatchNorm -> frozen-stats affine: a = gamma/sqrt(var+eps),
+    b = beta - mean*a (see swat_tpu.models.resnet.AffineBN)."""
+    gamma = _np(sd[f"{prefix}.weight"]).astype(np.float32)
+    beta = _np(sd[f"{prefix}.bias"]).astype(np.float32)
+    mean = _np(sd[f"{prefix}.running_mean"]).astype(np.float32)
+    var = _np(sd[f"{prefix}.running_var"]).astype(np.float32)
+    a = gamma / np.sqrt(var + eps)
+    return {"scale": a, "bias": beta - mean * a}
+
+
+def _conv_kernel(sd, key):
+    # torch [out, in, kh, kw] -> flax [kh, kw, in, out]
+    return {"conv": {"kernel": _np(sd[key]).astype(np.float32)
+                     .transpose(2, 3, 1, 0)}}
+
+
+def torch_rn50_visual_to_params(sd: Mapping[str, Any],
+                                layers=(3, 4, 6, 3)) -> dict:
+    """OpenCLIP ModifiedResNet visual state dict -> flax params
+    (swat_tpu.models.resnet.ModifiedResNet layout)."""
+    v: dict = {}
+    for i in (1, 2, 3):
+        v[f"conv{i}"] = _conv_kernel(sd, f"visual.conv{i}.weight")
+        v[f"bn{i}"] = fold_bn(sd, f"visual.bn{i}")
+    for stage, blocks in enumerate(layers):
+        for i in range(blocks):
+            pre = f"visual.layer{stage + 1}.{i}"
+            blk = {}
+            for j in (1, 2, 3):
+                blk[f"conv{j}"] = _conv_kernel(sd, f"{pre}.conv{j}.weight")
+                blk[f"bn{j}"] = fold_bn(sd, f"{pre}.bn{j}")
+            if f"{pre}.downsample.0.weight" in sd:
+                blk["down_conv"] = _conv_kernel(
+                    sd, f"{pre}.downsample.0.weight")
+                blk["down_bn"] = fold_bn(sd, f"{pre}.downsample.1")
+            v[f"layer{stage + 1}_{i}"] = blk
+    ap = "visual.attnpool"
+    v["attnpool"] = {
+        "positional_embedding": _np(
+            sd[f"{ap}.positional_embedding"]).astype(np.float32),
+    }
+    for name in ("q_proj", "k_proj", "v_proj", "c_proj"):
+        v["attnpool"][name] = {
+            "kernel": _np(sd[f"{ap}.{name}.weight"]).astype(np.float32).T,
+            "bias": _np(sd[f"{ap}.{name}.bias"]).astype(np.float32),
+        }
+    return v
 
 
 def load_torch_checkpoint(path: str, vision_layers: int, text_layers: int):

@@ -1,0 +1,225 @@
+"""Retrieval pipeline CLI — the reference's 4-step offline chain
+(SURVEY.md §3.3) as subcommands of one entry point:
+
+  stringmatch   captions corpus + metrics json -> matched caption ids,
+                synonym frequencies, most-common names
+                (replaces retrieval/laion_parser.py:314-384)
+  captionmap    download metadata -> {class: {img_idx: caption}} map
+                (replaces retrieval/process_meta_map.py)
+  extract       encode mined images + captions with the CLIP towers
+                (replaces retrieval/extract_mined_feature.py:284)
+  sample        rank + filter + write the training split
+                (replaces retrieval/sample_retrieval.py:1673-1746)
+
+Usage:
+    python -m swat_tpu.retrieval.cli stringmatch --captions laion.txt \
+        --metrics data/semi-aves/semi-aves_metrics-LAION400M.json \
+        --output_dir retrieved/semi-aves
+    python -m swat_tpu.retrieval.cli sample --dataset semi-aves \
+        --features retrieved/semi-aves/mined_features.npz \
+        --prompts data/semi-aves/prompts/..._prompt_tensors.npz \
+        --strategy T2T-rank-T2I-tshd --num_samples 500 \
+        --output data/retrieved/semi-aves/T2T500+T2I0.25.txt
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def cmd_stringmatch(args):
+    from swat_tpu.retrieval.indexer import make_index
+    from swat_tpu.retrieval.stringmatch import match_all_classes
+
+    t0 = time.time()
+    index = make_index(path=args.captions,
+                       prefer_native=not args.no_native)
+    print(f"Index built over {len(index)} captions "
+          f"in {time.time() - t0:.1f}s ({type(index).__name__})")
+
+    with open(args.metrics) as f:
+        metrics = json.load(f)
+    # alternates may be serialized as strings in the metrics jsons
+    import ast
+
+    for m in metrics.values():
+        if isinstance(m.get("alternates"), str):
+            m["alternates"] = ast.literal_eval(m["alternates"])
+
+    t0 = time.time()
+    retrieved, metrics, class_frequency = match_all_classes(
+        index, metrics, prefix=args.prefix, num_threads=args.threads)
+    print(f"Matched {sum(class_frequency.values())} captions "
+          f"in {time.time() - t0:.1f}s")
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    base = os.path.join(args.output_dir, args.tag)
+    with open(f"{base}_mined_captions.json", "w") as f:
+        json.dump({k: v for k, v in retrieved.items()}, f)
+    with open(f"{base}_metrics.json", "w") as f:
+        json.dump(metrics, f, indent=2)
+    with open(f"{base}_class_frequency.json", "w") as f:
+        json.dump(class_frequency, f, indent=2)
+    print(f"Wrote {base}_mined_captions.json / _metrics.json / "
+          "_class_frequency.json")
+
+
+def cmd_captionmap(args):
+    from swat_tpu.retrieval.mined import build_caption_map
+
+    with open(args.metadata) as f:
+        metadata = json.load(f)
+    cmap = build_caption_map(metadata)
+    with open(args.output, "w") as f:
+        json.dump(cmap, f)
+    print(f"Wrote caption map for {len(cmap)} classes to {args.output}")
+
+
+def cmd_extract(args):
+    import jax
+
+    from swat_tpu.core.mesh import MeshSpec, create_mesh
+    from swat_tpu.models.clip import CLIPModel
+    from swat_tpu.models.configs import get_model_config
+    from swat_tpu.models.loader import load_torch_checkpoint
+    from swat_tpu.models.tokenizer import get_tokenizer
+    from swat_tpu.retrieval.mined import (
+        extract_mined_features,
+        find_mined_images,
+        save_mined_features,
+    )
+
+    cfg = get_model_config(args.model_cfg)
+    model = CLIPModel(cfg)
+    if args.checkpoint_path:
+        params, _ = load_torch_checkpoint(
+            args.checkpoint_path, cfg.vision.layers, cfg.text.layers)
+    else:
+        import jax.numpy as jnp
+
+        params = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3)),
+            jnp.zeros((1, cfg.text.context_length), jnp.int32))["params"]
+        print("WARNING: random weights (no --checkpoint_path)")
+    params = jax.device_put(params)
+
+    mesh = None
+    if args.mesh_data != 1:
+        try:
+            mesh = create_mesh(MeshSpec(args.mesh_data, 1))
+        except ValueError:
+            pass
+
+    samples = find_mined_images(args.mined_dir)
+    with open(args.caption_map) as f:
+        cmap = json.load(f)
+    tok = get_tokenizer(args.bpe_path)
+    t0 = time.time()
+    feats = extract_mined_features(
+        model, params, samples, cmap, tok, mesh=mesh,
+        batch_size=args.bsz, image_size=cfg.vision.image_size)
+    n = len(samples)
+    dt = time.time() - t0
+    print(f"Encoded {n} images + captions in {dt:.1f}s "
+          f"({n / dt:.1f} pairs/s)")
+    save_mined_features(args.output, feats)
+    print(f"Wrote {args.output}")
+
+
+def cmd_sample(args):
+    import numpy as np
+
+    from swat_tpu.data.prompts import load_prompt_tensors
+    from swat_tpu.retrieval.mined import load_mined_features
+    from swat_tpu.retrieval.sampler import (
+        MinedPool,
+        sample_retrieved,
+        write_debug_lists,
+        write_split_file,
+    )
+
+    feats = load_mined_features(args.features)
+    pool = MinedPool(
+        [str(p) for p in feats["file_paths"]], feats["labels"],
+        feats["image_features"], feats.get("caption_features"))
+    prompts = load_prompt_tensors(args.prompts)
+
+    zs_head = None
+    if args.zeroshot_filter:
+        from swat_tpu.data.prompts import class_embedding_matrix
+
+        zs_head = class_embedding_matrix(prompts)
+
+    t0 = time.time()
+    res = sample_retrieved(
+        pool, prompts, strategy=args.strategy,
+        num_samples=args.num_samples, threshold=args.threshold,
+        t2i_threshold=args.t2i_threshold,
+        remove_duplicates=args.remove_duplicates,
+        zeroshot_filter_head=zs_head, seed=args.seed)
+    total = len(res["file_list"])
+    print(f"Sampled {total} images "
+          f"({args.strategy}) in {time.time() - t0:.1f}s")
+    write_split_file(args.output, res["file_list"], res["label_list"],
+                     relative_to=args.relative_to)
+    write_debug_lists(os.path.dirname(args.output) or ".",
+                      os.path.basename(args.output).rsplit(".", 1)[0], res)
+    print(f"Wrote {args.output}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="swat-tpu retrieval pipeline")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sm = sub.add_parser("stringmatch")
+    sm.add_argument("--captions", required=True,
+                    help="newline-separated caption corpus file")
+    sm.add_argument("--metrics", required=True)
+    sm.add_argument("--output_dir", required=True)
+    sm.add_argument("--tag", default="laion")
+    sm.add_argument("--prefix", default=None)
+    sm.add_argument("--threads", type=int, default=16)
+    sm.add_argument("--no_native", action="store_true")
+
+    cm = sub.add_parser("captionmap")
+    cm.add_argument("--metadata", required=True)
+    cm.add_argument("--output", required=True)
+
+    ex = sub.add_parser("extract")
+    ex.add_argument("--mined_dir", required=True)
+    ex.add_argument("--caption_map", required=True)
+    ex.add_argument("--output", required=True)
+    ex.add_argument("--model_cfg", default="vitb32_openclip_laion400m")
+    ex.add_argument("--checkpoint_path", default=None)
+    ex.add_argument("--bpe_path", default=None)
+    ex.add_argument("--bsz", type=int, default=256)
+    ex.add_argument("--mesh_data", type=int, default=-1)
+
+    sp = sub.add_parser("sample")
+    sp.add_argument("--dataset", default=None)
+    sp.add_argument("--features", required=True)
+    sp.add_argument("--prompts", required=True)
+    sp.add_argument("--strategy", default="T2T-rank",
+                    choices=["Random", "Random-I2I", "I2I-rank", "I2T-rank",
+                             "T2T-rank", "T2T-rank-T2I-tshd", "T2T+I2T",
+                             "T2T+I2I"])
+    sp.add_argument("--num_samples", type=int, default=500)
+    sp.add_argument("--threshold", type=float, default=0.0)
+    sp.add_argument("--t2i_threshold", type=float, default=0.25)
+    sp.add_argument("--remove_duplicates", action="store_true")
+    sp.add_argument("--zeroshot_filter", action="store_true")
+    sp.add_argument("--relative_to", default=None)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--output", required=True)
+
+    args = p.parse_args(argv)
+    {"stringmatch": cmd_stringmatch, "captionmap": cmd_captionmap,
+     "extract": cmd_extract, "sample": cmd_sample}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()

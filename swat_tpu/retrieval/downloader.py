@@ -1,0 +1,100 @@
+"""Image download plumbing (host-side; network tooling optional).
+
+Step [2] of the retrieval pipeline (SURVEY.md §3.3).  The reference builds
+per-class URL parquet files from the matched captions (sampling all or a
+random subset), bulk-downloads via img2dataset, and restructures the flat
+shard dump into per-class folders with re-keyed metadata (reference
+retrieval/laion_downloader.py:108-234).  Those behaviors live here;
+img2dataset itself is an optional import (it is a network tool — not
+performance-relevant to TPU, SURVEY.md §2.4 item 5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Dict, List, Optional, Sequence, Tuple
+
+
+def select_samples(matches: Sequence[Tuple[str, int]], sampling: str,
+                   max_images: Optional[int], seed: int = 0) -> List[int]:
+    """caption ids to download for one class ('all' | 'random',
+    reference create_parquet, laion_downloader.py:132-176)."""
+    import numpy as np
+
+    ids = [cid for _, cid in matches]
+    if sampling == "all" or max_images is None or len(ids) <= max_images:
+        return ids
+    if sampling == "random":
+        rng = np.random.default_rng(seed)
+        return list(rng.choice(ids, size=max_images, replace=False))
+    raise NotImplementedError(f"sampling {sampling}")
+
+
+def write_url_parquet(path: str, rows: Sequence[dict]):
+    """rows: [{'class_id', 'caption', 'url', 'caption_id'}] -> parquet
+    (falls back to jsonl when pyarrow is unavailable)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pa.Table.from_pylist(list(rows))
+        pq.write_table(table, path)
+    except ImportError:
+        with open(path + ".jsonl", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+
+def download_with_img2dataset(parquet_path: str, output_dir: str,
+                              processes: int = 16, threads: int = 16,
+                              image_size: int = 512):
+    """Bulk download (reference laion_downloader.py:108-130). Requires the
+    img2dataset package + network; raises ImportError otherwise."""
+    import img2dataset
+
+    img2dataset.download(
+        url_list=parquet_path, input_format="parquet",
+        url_col="url", caption_col="caption", output_folder=output_dir,
+        output_format="files", processes_count=processes,
+        thread_count=threads, image_size=image_size,
+        resize_mode="keep_ratio")
+
+
+def restructure_download(flat_dir: str, out_dir: str,
+                         key_to_class: Dict[str, int]
+                         ) -> Dict[str, Dict[str, str]]:
+    """Flat img2dataset dump (00000/000000123.jpg + .json sidecars) ->
+    per-class folders with sequential ids; returns the caption map
+    {class: {img_idx: caption}} (reference restructure_download,
+    laion_downloader.py:198-234 + process_meta_map.py)."""
+    counters: Dict[int, int] = {}
+    caption_map: Dict[str, Dict[str, str]] = {}
+    for shard in sorted(os.listdir(flat_dir)):
+        shard_dir = os.path.join(flat_dir, shard)
+        if not os.path.isdir(shard_dir):
+            continue
+        for fname in sorted(os.listdir(shard_dir)):
+            if not fname.endswith(".json"):
+                continue
+            with open(os.path.join(shard_dir, fname)) as f:
+                meta = json.load(f)
+            if meta.get("status") != "success":
+                continue
+            key = str(meta.get("key", fname.split(".")[0]))
+            if key not in key_to_class:
+                continue
+            cls = key_to_class[key]
+            img_src = os.path.join(shard_dir, fname.replace(".json", ".jpg"))
+            if not os.path.exists(img_src):
+                continue
+            idx = counters.get(cls, 0)
+            counters[cls] = idx + 1
+            cls_dir = os.path.join(out_dir, str(cls))
+            os.makedirs(cls_dir, exist_ok=True)
+            shutil.copyfile(img_src, os.path.join(cls_dir, f"{idx}.jpg"))
+            caption_map.setdefault(str(cls), {})[str(idx)] = meta.get(
+                "caption", "")
+    return caption_map

@@ -1,0 +1,252 @@
+"""Resident-dataset epoch execution: whole-epoch `lax.scan` under one jit.
+
+The few-shot splits SWAT trains on are small (10^2-10^5 images), so the
+entire split fits in HBM as uint8 canvases.  Instead of dispatching one
+jitted step per batch (each dispatch pays host-round-trip latency — severe
+over a tunneled TPU, nontrivial everywhere), an epoch becomes ONE device
+program: `lax.scan` over per-step batch indices, gathering batches from the
+resident arrays, running augment -> mix -> fwd/bwd -> update per step.
+
+Same idea for eval: the preprocessed eval split lives on device as uint8
+pixels and a whole validation pass is one jit (encode + logits + confusion
+matrix accumulated in the scan carry).
+
+This has no reference counterpart (the reference streams PIL batches from
+DataLoader workers every step); it is the TPU-native fast path and is
+bit-equivalent in expectation to the streaming path (same augment math,
+same RNG discipline).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from swat_tpu.data.splits import Sample
+from swat_tpu.data.transforms import CANVAS_SIZE
+from swat_tpu.kernels import augment as aug
+from swat_tpu.models.clip import CLIPModel
+from swat_tpu.models.head import head_logits
+from swat_tpu.train.losses import LossFn, cross_entropy, mixup_criterion
+from swat_tpu.train.state import TrainState
+
+
+class ResidentData:
+    """A split resident in HBM: uint8 canvases + valid dims + labels."""
+
+    def __init__(self, canvases, valid_hw, labels, source):
+        self.canvases = canvases
+        self.valid_hw = valid_hw
+        self.labels = labels
+        self.source = source
+        self.n = int(canvases.shape[0])
+
+    @classmethod
+    def from_samples(cls, samples, canvas: int = CANVAS_SIZE,
+                     num_workers: int = 16, sharding=None):
+        import concurrent.futures as cf
+
+        from swat_tpu.data.transforms import load_image, train_canvas
+
+        def load(s: Sample):
+            return train_canvas(load_image(s.path), canvas)
+
+        with cf.ThreadPoolExecutor(num_workers) as pool:
+            loaded = list(pool.map(load, samples))
+        canvases = np.stack([c for c, _ in loaded])
+        valid_hw = np.asarray([hw for _, hw in loaded], np.int32)
+        labels = np.asarray([s.label for s in samples], np.int32)
+        source = np.asarray([s.is_fewshot for s in samples], np.int32)
+        put = (lambda x: jax.device_put(x, sharding)) if sharding \
+            else jax.device_put
+        return cls(put(canvases), put(valid_hw), put(labels), put(source))
+
+    def nbytes(self) -> int:
+        return int(self.canvases.size) + int(self.valid_hw.size) * 4 + \
+            int(self.labels.size) * 8
+
+
+def epoch_permutation(rng: np.random.Generator, n: int, batch_size: int
+                      ) -> np.ndarray:
+    """[steps, batch_size] shuffled indices, drop-last."""
+    order = rng.permutation(n)
+    steps = n // batch_size
+    return order[: steps * batch_size].reshape(steps, batch_size).astype(
+        np.int32)
+
+
+def make_scan_epoch(model: CLIPModel, tx, method: str,
+                    loss: LossFn = cross_entropy, *,
+                    mixup_alpha: float = 1.0, cutmix_beta: float = 1.0,
+                    mix_prob: float = 0.5, image_size: int = 224):
+    """Returns jitted epoch_fn(state, data_tuple, perm, key) ->
+    (state, mean_loss).  Supported methods: finetune/cutmix/mixup/
+    resizemix/saliencymix (single-loader family)."""
+
+    def one_step(state: TrainState, canvases, valid_hw, labels, source,
+                 key):
+        k_aug, k_mix = jax.random.split(key)
+
+        def loss_fn(trainable):
+            images = aug.train_augment(canvases, valid_hw, k_aug,
+                                       out_size=image_size)
+            if method == "cutmix":
+                images, y_a, y_b, lam = aug.cutmix(
+                    images, labels, k_mix, cutmix_beta, mix_prob)
+            elif method == "mixup":
+                images, y_a, y_b, lam = aug.mixup(
+                    images, labels, k_mix, mixup_alpha, mix_prob)
+            elif method == "resizemix":
+                images, y_a, y_b, lam = aug.resizemix(
+                    images, labels, k_mix, mix_prob)
+            elif method == "saliencymix":
+                images, y_a, y_b, lam = aug.saliencymix(
+                    images, labels, k_mix, cutmix_beta, mix_prob)
+            elif method == "finetune":
+                y_a = y_b = labels
+                lam = 1.0
+            else:
+                raise NotImplementedError(method)
+            feats = model.apply({"params": trainable["model"]}, images,
+                                True, method=CLIPModel.encode_image)
+            logits = head_logits(trainable["head"], feats) * jnp.exp(
+                trainable["logit_scale"])
+            if method == "saliencymix":
+                from swat_tpu.train.losses import mixup_criterion_lam_vector
+
+                return mixup_criterion_lam_vector(logits, y_a, y_b, lam)
+            return mixup_criterion(loss, logits, y_a, y_b, lam, source)
+
+        val, grads = jax.value_and_grad(loss_fn)(state.trainable)
+        updates, new_opt = tx.update(grads, state.opt_state,
+                                     state.trainable)
+        new_tr = jax.tree_util.tree_map(lambda p, u: p + u,
+                                        state.trainable, updates)
+        return state.replace_trainable(new_tr, opt_state=new_opt,
+                                       step=state.step + 1), val
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def epoch_fn(state, canvases, valid_hw, labels, source, perm, key):
+        steps = perm.shape[0]
+        keys = jax.random.split(key, steps)
+
+        def body(carry, xs):
+            st, loss_sum = carry
+            idx, k = xs
+            st, val = one_step(st, canvases[idx], valid_hw[idx],
+                               labels[idx], source[idx], k)
+            return (st, loss_sum + val), None
+
+        (state, loss_sum), _ = jax.lax.scan(
+            body, (state, jnp.float32(0)), (perm, keys))
+        return state, loss_sum / steps
+
+    def run(state, data: ResidentData, perm: np.ndarray, key):
+        return epoch_fn(state, data.canvases, data.valid_hw, data.labels,
+                        data.source, jnp.asarray(perm), key)
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# resident eval: one dispatch per validation pass
+
+
+class ResidentEval:
+    """Eval split preprocessed once: uint8 center-cropped pixels on device,
+    padded to a batch multiple with a mask."""
+
+    def __init__(self, images_u8, labels, mask, num_classes: int):
+        self.images_u8 = images_u8
+        self.labels = labels
+        self.mask = mask
+        self.num_classes = num_classes
+
+    @classmethod
+    def from_samples(cls, samples, num_classes: int, n_px: int = 224,
+                     batch_size: int = 256, num_workers: int = 16,
+                     sharding=None):
+        import concurrent.futures as cf
+
+        from swat_tpu.data.transforms import load_image
+        from PIL import Image
+
+        def load(s: Sample):
+            img = load_image(s.path)
+            w, h = img.size
+            if w < h:
+                nw, nh = n_px, max(n_px, round(h * n_px / w))
+            else:
+                nw, nh = max(n_px, round(w * n_px / h)), n_px
+            img = img.resize((nw, nh), Image.BICUBIC)
+            left, top = (nw - n_px) // 2, (nh - n_px) // 2
+            img = img.crop((left, top, left + n_px, top + n_px))
+            return np.asarray(img, np.uint8)
+
+        with cf.ThreadPoolExecutor(num_workers) as pool:
+            images = list(pool.map(load, samples))
+        n = len(images)
+        pad = (-n) % batch_size
+        if pad:
+            images += [np.zeros_like(images[0])] * pad
+        images = np.stack(images)
+        labels = np.asarray([s.label for s in samples] + [0] * pad,
+                            np.int32)
+        mask = np.arange(n + pad) < n
+        put = (lambda x: jax.device_put(x, sharding)) if sharding \
+            else jax.device_put
+        return cls(put(images), put(labels), put(mask), num_classes)
+
+
+def make_scan_eval(model: CLIPModel, num_classes: int, batch_size: int = 256,
+                   loss: LossFn = cross_entropy):
+    """Returns eval_fn(params, head, logit_scale, resident_eval) ->
+    (acc%, mean_loss, confusion_matrix) in ONE device dispatch."""
+
+    @jax.jit
+    def run(params, head, logit_scale, images_u8, labels, mask):
+        n = images_u8.shape[0]
+        steps = n // batch_size
+
+        def body(carry, i):
+            correct, loss_sum, cnt, cm = carry
+            sl = jax.lax.dynamic_slice_in_dim(images_u8, i * batch_size,
+                                              batch_size)
+            lb = jax.lax.dynamic_slice_in_dim(labels, i * batch_size,
+                                              batch_size)
+            mk = jax.lax.dynamic_slice_in_dim(mask, i * batch_size,
+                                              batch_size)
+            x = aug.normalize(sl)
+            feats = model.apply({"params": params}, x, True,
+                                method=CLIPModel.encode_image)
+            logits = head_logits(head, feats)
+            preds = jnp.argmax(logits, axis=-1)
+            correct += jnp.sum((preds == lb) & mk)
+            scaled = (logits * jnp.exp(logit_scale)).astype(jnp.float32)
+            logp = jax.nn.log_softmax(scaled, axis=-1)
+            per = -jnp.take_along_axis(logp, lb[:, None], 1)[:, 0]
+            loss_sum += jnp.sum(per * mk)
+            cnt += jnp.sum(mk)
+            upd = jnp.zeros((num_classes * num_classes,), jnp.int32).at[
+                lb * num_classes + preds].add(mk.astype(jnp.int32))
+            return (correct, loss_sum, cnt, cm + upd), None
+
+        init = (jnp.int32(0), jnp.float32(0), jnp.int32(0),
+                jnp.zeros((num_classes * num_classes,), jnp.int32))
+        (correct, loss_sum, cnt, cm), _ = jax.lax.scan(
+            body, init, jnp.arange(steps))
+        acc = correct.astype(jnp.float32) / jnp.maximum(cnt, 1) * 100.0
+        return acc, loss_sum / jnp.maximum(cnt, 1), cm.reshape(
+            num_classes, num_classes)
+
+    def eval_fn(params, head, logit_scale, ev: ResidentEval):
+        acc, mean_loss, cm = run(params, head,
+                                 jnp.asarray(logit_scale, jnp.float32),
+                                 ev.images_u8, ev.labels, ev.mask)
+        return float(acc), float(mean_loss), np.asarray(cm)
+
+    return eval_fn

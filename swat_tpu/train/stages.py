@@ -134,6 +134,8 @@ class SwatPipeline:
         self.evaluator = Evaluator(self.model, cfg.num_classes,
                                    loss=self._loss(), mesh=self.mesh)
         self._feature_cache: Dict[str, dict] = {}
+        self._resident_eval_cache: Dict[str, object] = {}
+        self._scan_eval = None
 
     # ------------------------------------------------------------------
     # helpers
@@ -199,8 +201,36 @@ class SwatPipeline:
         self._feature_cache[tag] = feats
         return feats
 
+    def _resident_eval_for(self, split) -> Optional[object]:
+        """ResidentEval for a split when enabled and within budget; cached.
+        One device dispatch per validation pass (scan_loop.make_scan_eval)."""
+        cfg = self.cfg
+        if cfg.resident == "off":
+            return None
+        tag = str(split)
+        if tag in self._resident_eval_cache:
+            return self._resident_eval_cache[tag]
+        from swat_tpu.train.scan_loop import ResidentEval, make_scan_eval
+
+        samples = self._samples(split)
+        n_px = self.model_cfg.vision.image_size
+        est = len(samples) * n_px * n_px * 3
+        if cfg.resident != "on" and est > cfg.resident_budget_bytes:
+            self._resident_eval_cache[tag] = None
+            return None
+        ev = ResidentEval.from_samples(samples, cfg.num_classes, n_px=n_px,
+                                       num_workers=cfg.num_workers)
+        if self._scan_eval is None:
+            self._scan_eval = make_scan_eval(self.model, cfg.num_classes)
+        self._resident_eval_cache[tag] = ev
+        return ev
+
     def _validate_images(self, params, head, logit_scale, split,
                          return_confusion=False, bsz=128):
+        ev = self._resident_eval_for(split)
+        if ev is not None:
+            acc, loss, cm = self._scan_eval(params, head, logit_scale, ev)
+            return acc, loss, (cm if return_confusion else None)
         loader = self._eval_loader(split, bsz=bsz)
         return self.evaluator.validate(
             params, head, logit_scale, loader,
@@ -252,6 +282,26 @@ class SwatPipeline:
                 n_px=image_size, num_workers=cfg.num_workers,
                 tokenized_prompts=(self.tokenized_prompts
                                    if method == "FLYP" else None))
+
+        # resident-dataset scan path (one dispatch per epoch) for the
+        # single-loader image methods
+        resident_data = None
+        RESIDENT_METHODS = {"finetune", "cutmix", "mixup", "resizemix",
+                            "saliencymix"}
+        if (not frozen and cfg.resident != "off"
+                and cfg.aug_mode == "canvas"
+                and method in RESIDENT_METHODS):
+            from swat_tpu.data.transforms import CANVAS_SIZE
+            from swat_tpu.train.scan_loop import ResidentData
+
+            samples = self._samples(cfg.train_split)
+            est = len(samples) * CANVAS_SIZE * CANVAS_SIZE * 3
+            if cfg.resident == "on" or est <= cfg.resident_budget_bytes:
+                resident_data = ResidentData.from_samples(
+                    samples, num_workers=cfg.num_workers)
+                logger.info(
+                    f"Resident train data: {len(samples)} canvases "
+                    f"({est / 1e9:.2f} GB) on device; scan-epoch mode.")
 
         steps_per_epoch = len(train_loader)
         total_iter = steps_per_epoch * max(cfg.epochs, 1)
@@ -392,13 +442,31 @@ class SwatPipeline:
                     cfg.test_split)
                 return acc
 
+        epoch_runner = None
+        if resident_data is not None:
+            from swat_tpu.train.scan_loop import (
+                epoch_permutation,
+                make_scan_epoch,
+            )
+
+            scan_epoch = make_scan_epoch(
+                self.model, tx, method, loss, mixup_alpha=cfg.mixup_alpha,
+                cutmix_beta=cfg.cutmix_beta, mix_prob=cfg.mix_prob,
+                image_size=image_size)
+            perm_rng = np.random.default_rng(cfg.training_seed)
+
+            def epoch_runner(state, epoch, key):
+                perm = epoch_permutation(perm_rng, resident_data.n, cfg.bsz)
+                return scan_epoch(state, resident_data, perm, key)
+
         ckpt_dir = os.path.join(cfg.output_dir, "model_ckpts")
         return train_loop(
             cfg=cfg, state=state, step_fn=step,
             train_batches=train_batches, steps_per_epoch=steps_per_epoch,
             validate_fn=validate_fn, test_fn=test_fn, logger=logger,
             loss_logger=self.loss_logger, mesh=self.mesh, method=method,
-            ckpt_dir=ckpt_dir, post_epoch=post_epoch)
+            ckpt_dir=ckpt_dir, post_epoch=post_epoch,
+            epoch_runner=epoch_runner)
 
     def _fs_loader(self, cfg: RunConfig):
         """Few-shot twin loader for *-fs / finetune-mixed methods

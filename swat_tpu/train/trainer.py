@@ -69,8 +69,13 @@ def train_loop(
     method: Optional[str] = None,
     ckpt_dir: Optional[str] = None,
     post_epoch: Optional[Callable] = None,   # e.g. FLYP head rebuild
+    epoch_runner: Optional[Callable] = None,  # resident scan-epoch path
 ):
-    """Runs cfg.epochs epochs; returns (final_state, BestSnapshot)."""
+    """Runs cfg.epochs epochs; returns (final_state, BestSnapshot).
+
+    When ``epoch_runner(state, epoch, key) -> (state, avg_loss)`` is given
+    (resident-data mode, swat_tpu.train.scan_loop) it replaces the
+    per-batch loop: one device dispatch per epoch."""
     method = method or cfg.method
     every_epoch = method in VALIDATE_EVERY_EPOCH
     key = jax.random.PRNGKey(cfg.training_seed)
@@ -79,15 +84,25 @@ def train_loop(
     num_iter = 0
     val_acc, val_loss, test_acc = -1.0, -1.0, -1.0
 
+    from swat_tpu.utils.profiling import StepMeter
+
+    meter = StepMeter()
     for epoch in range(1, cfg.epochs + 1):
+        meter.reset()
         train_loss_sum = 0.0
-        for batch in train_batches():
-            num_iter += 1
+        if epoch_runner is not None:
             key, sub = jax.random.split(key)
-            if mesh is not None:
-                batch = shard_batch(mesh, batch)
-            state, loss = step_fn(state, batch, sub)
-            train_loss_sum += float(loss)
+            state, avg_loss = epoch_runner(state, epoch, sub)
+            num_iter += steps_per_epoch
+            train_loss_sum = float(avg_loss) * steps_per_epoch
+        else:
+            for batch in train_batches():
+                num_iter += 1
+                key, sub = jax.random.split(key)
+                if mesh is not None:
+                    batch = shard_batch(mesh, batch)
+                state, loss = step_fn(state, batch, sub)
+                train_loss_sum += float(loss)
 
         if post_epoch is not None:
             state = post_epoch(state, epoch)
@@ -116,11 +131,13 @@ def train_loop(
                 f"{round(val_loss, 6)},{round(val_acc, 6)},"
                 f"{round(test_acc, 6)}\n")
             loss_logger.flush()
+        meter.tick(steps_per_epoch * cfg.bsz)
         logger.info(
             f"Epoch {epoch}, Iter {num_iter}, "
             f"Trn Loss: {round(train_loss_avg, 6)}, "
             f"Val Loss: {round(val_loss, 6)}, "
-            f"Val Acc: {round(val_acc, 3)}, Test Acc: {round(test_acc, 3)}")
+            f"Val Acc: {round(val_acc, 3)}, Test Acc: {round(test_acc, 3)}, "
+            f"{meter.items_per_sec:.0f} img/s")
 
         if cfg.save_ckpt and ckpt_dir and (
                 num_iter % cfg.save_freq == 0 or epoch == cfg.epochs):
