@@ -24,6 +24,9 @@ class Precision:
     # JAX's *default* rounds operands through bf16 passes, so the fp32
     # policy must request 'highest' explicitly for exact fp32 matmuls.
     matmul_precision: str = "default"
+    # LayerNorm variance: one-pass E[x^2]-E[x]^2 (fast, fp32-accumulated)
+    # for the throughput policy; exact two-pass for the fp32 parity policy.
+    ln_fast_variance: bool = True
 
     def cast(self, x):
         return x.astype(self.compute_dtype)
@@ -31,4 +34,5 @@ class Precision:
 
 DEFAULT_PRECISION = Precision()
 FP32_PRECISION = Precision(compute_dtype=jnp.float32,
-                           matmul_precision="highest")
+                           matmul_precision="highest",
+                           ln_fast_variance=False)

@@ -37,14 +37,18 @@ def quick_gelu(x):
 
 
 class _LayerNorm(nn.Module):
-    """LayerNorm computed in fp32, output cast back to compute dtype."""
+    """LayerNorm computed in fp32, output cast back to compute dtype.
+    ``fast_variance`` picks the one-pass E[x^2]-E[x]^2 form (throughput
+    policy) vs the exact two-pass form (fp32 parity policy)."""
 
     compute_dtype: Any = jnp.bfloat16
+    fast_variance: bool = True
 
     @nn.compact
     def __call__(self, x):
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
-                         param_dtype=jnp.float32, use_fast_variance=False,
+                         param_dtype=jnp.float32,
+                         use_fast_variance=self.fast_variance,
                          name="ln")(
             x.astype(jnp.float32))
         return y.astype(self.compute_dtype)
@@ -112,10 +116,12 @@ class Block(nn.Module):
         x = x + Attention(self.width, self.heads, causal=self.causal,
                           precision=self.precision,
                           use_pallas=self.use_pallas, name="attn")(
-            _LayerNorm(self.precision.compute_dtype, name="ln_1")(x))
+            _LayerNorm(self.precision.compute_dtype,
+                       self.precision.ln_fast_variance, name="ln_1")(x))
         x = x + MLP(self.width, quick_gelu=self.quick_gelu,
                     precision=self.precision, name="mlp")(
-            _LayerNorm(self.precision.compute_dtype, name="ln_2")(x))
+            _LayerNorm(self.precision.compute_dtype,
+                       self.precision.ln_fast_variance, name="ln_2")(x))
         return x, None
 
 
@@ -187,12 +193,14 @@ class VisionTower(nn.Module):
         x = jnp.concatenate([cls, x], axis=1)
         x = x + pos_emb.astype(self.precision.compute_dtype)
 
-        x = _LayerNorm(self.precision.compute_dtype, name="ln_pre")(x)
+        x = _LayerNorm(self.precision.compute_dtype,
+                        self.precision.ln_fast_variance, name="ln_pre")(x)
         x = Transformer(cfg.width, cfg.layers, cfg.heads, causal=False,
                         quick_gelu=cfg.quick_gelu, precision=self.precision,
                         remat=self.remat, use_pallas=self.use_pallas,
                         name="transformer")(x)
-        x = _LayerNorm(self.precision.compute_dtype, name="ln_post")(
+        x = _LayerNorm(self.precision.compute_dtype,
+                       self.precision.ln_fast_variance, name="ln_post")(
             x if not pool else x[:, 0])
 
         proj = self.param(
@@ -227,7 +235,8 @@ class TextTower(nn.Module):
                         quick_gelu=cfg.quick_gelu, precision=self.precision,
                         remat=self.remat, use_pallas=self.use_pallas,
                         name="transformer")(x)
-        x = _LayerNorm(self.precision.compute_dtype, name="ln_final")(x)
+        x = _LayerNorm(self.precision.compute_dtype,
+                       self.precision.ln_fast_variance, name="ln_final")(x)
 
         # features at the EOT token (argmax works because EOT has the
         # highest id in the CLIP vocab)

@@ -306,6 +306,12 @@ class SwatPipeline:
         steps_per_epoch = len(train_loader)
         total_iter = steps_per_epoch * max(cfg.epochs, 1)
 
+        # dataset-cls needs a binary head (reference set_classifier,
+        # utils/models.py:24-27)
+        if method == "dataset-cls" and np.asarray(head).shape[0] != 2:
+            head = init_head_random(
+                jax.random.PRNGKey(cfg.training_seed), 2, mc.embed_dim)
+
         # multitask needs a second (dataset) head
         if method == "finetune-multitask":
             head = {"cls": jnp.asarray(head),
@@ -426,6 +432,29 @@ class SwatPipeline:
                     _cls_head(state.head), state.logit_scale,
                     test_feats["image_features"], test_feats["labels"],
                     cfg.num_classes, loss)
+                return acc
+        elif method == "dataset-cls":
+            # predictions compared against the source flag (reference
+            # validate_dataset, testing.py:280-364)
+            def _swap(samples):
+                from swat_tpu.data.splits import Sample as _S
+
+                return [_S(s.path, s.is_fewshot, s.is_fewshot)
+                        for s in samples]
+
+            def validate_fn(state):
+                loader = EvalLoader(_swap(self._samples(cfg.val_split)),
+                                    128, image_size, cfg.num_workers)
+                return self.evaluator.validate(
+                    state.model, _cls_head(state.head), state.logit_scale,
+                    loader, return_confusion=True)
+
+            def test_fn(state):
+                loader = EvalLoader(_swap(self._samples(cfg.test_split)),
+                                    128, image_size, cfg.num_workers)
+                acc, _, _ = self.evaluator.validate(
+                    state.model, _cls_head(state.head), state.logit_scale,
+                    loader)
                 return acc
         else:
             val_split = (cfg.test_split if method == "fixmatch"
