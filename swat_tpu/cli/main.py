@@ -140,6 +140,7 @@ def build_parser() -> argparse.ArgumentParser:
     # save
     p.add_argument("--save_ckpt", default=False, type=str2bool)
     p.add_argument("--save_freq", type=int, default=10)
+    p.add_argument("--resume", default=False, type=str2bool)
     p.add_argument("--utrain", type=str, default=None)
 
     # TPU-native additions

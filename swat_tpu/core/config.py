@@ -104,6 +104,10 @@ class RunConfig:
     save_ckpt: bool = False
     save_freq: int = 10
     utrain: Optional[str] = None
+    # resume stage-1 training from the latest periodic ckpt in the run's
+    # ckpt dir (restores optimizer state — the reference saves but never
+    # restores it, SURVEY.md §5)
+    resume: bool = False
 
     # TPU-native additions (no reference equivalent)
     mesh_data: int = -1                       # data-parallel axis size

@@ -15,6 +15,7 @@ in utils/training.py); the semantics preserved exactly:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Callable, Dict, Iterable, Optional
 
 import jax
@@ -42,6 +43,27 @@ def snapshot_trainable(state) -> Any:
     """Host copy of the best trainable tree (the reference deep-copies the
     model per improvement, utils/training.py:1514-1515)."""
     return jax.tree_util.tree_map(np.asarray, state.trainable)
+
+
+def try_resume(state, ckpt_dir: str, logger):
+    """Load the newest periodic ckpt in ckpt_dir; returns
+    (state, epoch_completed|0).  Ckpt tags encode the epoch
+    (``ckpt_ep{E}_it{I}.msgpack``, checkpoint.save_train_ckpt)."""
+    import glob
+    import re
+
+    from swat_tpu.train.checkpoint import load_train_ckpt
+
+    paths = glob.glob(os.path.join(ckpt_dir, "ckpt_ep*_it*.msgpack"))
+    if not paths:
+        return state, 0
+    latest = max(paths, key=os.path.getmtime)
+    m = re.search(r"ckpt_ep(\d+)_it(\d+)", latest)
+    epoch = int(m.group(1)) if m else 0
+    state, meta = load_train_ckpt(latest, state)
+    logger.info(f"Resumed from {latest} (epoch {epoch}, "
+                f"iter {int(np.asarray(state.step))})")
+    return state, epoch
 
 
 def compose_twin(primary: Iterable[dict], twin_cycler, suffix: str = "_fs"):
@@ -86,8 +108,15 @@ def train_loop(
 
     from swat_tpu.utils.profiling import StepMeter
 
+    start_epoch = 1
+    if getattr(cfg, "resume", False) and ckpt_dir:
+        state, resumed_epoch = try_resume(state, ckpt_dir, logger)
+        if resumed_epoch:
+            start_epoch = resumed_epoch + 1
+            num_iter = int(np.asarray(state.step))
+
     meter = StepMeter()
-    for epoch in range(1, cfg.epochs + 1):
+    for epoch in range(start_epoch, cfg.epochs + 1):
         meter.reset()
         train_loss_sum = 0.0
         if epoch_runner is not None:

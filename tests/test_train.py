@@ -227,3 +227,48 @@ def test_flyp_step_runs(tiny_model, rng):
     t0 = np.asarray(params["text"]["token_embedding"])
     t1 = np.asarray(state2.model["text"]["token_embedding"])
     assert np.abs(t0 - t1).max() > 0
+
+
+def test_train_ckpt_resume_roundtrip(tiny_model, rng, tmp_path):
+    """Periodic ckpt saves and restores optimizer state (incl. the
+    multi_transform masked states) and the resume helper picks it up."""
+    import logging
+
+    from swat_tpu.train.checkpoint import load_train_ckpt, save_train_ckpt
+    from swat_tpu.train.trainer import try_resume
+
+    model, params = tiny_model
+    head = init_head_random(jax.random.PRNGKey(1), 4, CFG.embed_dim)
+    state, tx = create_train_state(
+        params, head, "cutmix", lr_classifier=1e-3, lr_backbone=1e-4,
+        total_iter=10)
+    step = S.make_mixing_step(model, tx, "cutmix", image_size=32)
+    batch = {
+        "canvases": jnp.asarray(
+            rng.integers(0, 255, (4, 40, 40, 3)).astype(np.uint8)),
+        "valid_hw": jnp.full((4, 2), 40, jnp.int32),
+        "labels": jnp.asarray(rng.integers(0, 4, 4)),
+        "source": jnp.asarray(rng.integers(0, 2, 4)),
+    }
+    state, _ = step(state, batch, jax.random.PRNGKey(0))
+    state, _ = step(state, batch, jax.random.PRNGKey(1))
+
+    path = save_train_ckpt(str(tmp_path), "ep2_it2", state, {"best_val_acc": 1.0})
+    assert path.endswith("ckpt_ep2_it2.msgpack")
+
+    # fresh state restores exactly
+    state2, tx2 = create_train_state(
+        params, head, "cutmix", lr_classifier=1e-3, lr_backbone=1e-4,
+        total_iter=10)
+    state3, epoch = try_resume(state2, str(tmp_path),
+                               logging.getLogger("t"))
+    assert epoch == 2
+    assert int(np.asarray(state3.step)) == 2
+    np.testing.assert_array_equal(
+        np.asarray(state3.head), np.asarray(state.head))
+    # optimizer moments restored: one more step from both gives same result
+    s_a, l_a = step(state, batch, jax.random.PRNGKey(7))
+    s_b, l_b = step(state3, batch, jax.random.PRNGKey(7))
+    np.testing.assert_allclose(float(l_a), float(l_b), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s_a.head), np.asarray(s_b.head), rtol=1e-6)
