@@ -40,25 +40,30 @@ class Evaluator:
         def eval_feats(head, logit_scale, feats, labels, source, mask):
             logits = head_logits(head, feats)
             preds = jnp.argmax(logits, axis=-1)
+            max_logits = jnp.max(logits, axis=-1)
             correct = jnp.sum((preds == labels) & mask)
             scaled = logits * jnp.exp(logit_scale)
             per = _per_sample_loss(self.loss, scaled, labels, source)
             loss_sum = jnp.sum(per * mask)
-            return preds, correct, loss_sum
+            return preds, max_logits, correct, loss_sum
 
         self._encode = jax.jit(encode)
         self._eval_feats = jax.jit(eval_feats)
 
     def validate(self, params, head, logit_scale, loader, *,
                  pre_extracted: bool = False,
-                 return_confusion: bool = False):
+                 return_confusion: bool = False,
+                 predict_labels_path: str | None = None):
         """Returns (acc_percent, mean_loss, confusion_matrix|None) —
-        signature parity with reference validate (testing.py:403)."""
+        signature parity with reference validate (testing.py:403).
+        ``predict_labels_path`` dumps '<pred> <max_logit>' lines for
+        pseudo-labeling (reference testing.py:466-480)."""
         cm = (np.zeros((self.num_classes, self.num_classes), np.int64)
               if return_confusion else None)
         correct = 0
         count = 0
         batch_losses = []
+        predicted: list = []
         logit_scale = jnp.asarray(logit_scale, jnp.float32)
         for batch in loader:
             if self.mesh is not None:
@@ -68,7 +73,7 @@ class Evaluator:
             else:
                 feats = self._encode(params, batch["images"])
             mask = jnp.asarray(batch["mask"])
-            preds, c, loss_sum = self._eval_feats(
+            preds, max_logits, c, loss_sum = self._eval_feats(
                 head, logit_scale, feats, jnp.asarray(batch["labels"]),
                 jnp.asarray(batch["source"]), mask)
             n = int(np.asarray(mask).sum())
@@ -79,6 +84,14 @@ class Evaluator:
                 cm = confusion_matrix_update(
                     cm, np.asarray(preds), np.asarray(batch["labels"]),
                     np.asarray(batch["mask"]))
+            if predict_labels_path:
+                m = np.asarray(mask)
+                predicted.extend(zip(np.asarray(preds)[m].tolist(),
+                                     np.asarray(max_logits)[m].tolist()))
+        if predict_labels_path:
+            with open(predict_labels_path, "w") as f:
+                for pred, logit in predicted:
+                    f.write(f"{pred} {logit}\n")
         acc = correct / max(count, 1) * 100.0
         return acc, float(np.mean(batch_losses)), cm
 

@@ -1,0 +1,101 @@
+"""Resident-data scan execution: the one-dispatch-per-epoch path must agree
+with the streaming path (same math, same learning behavior) and ResidentEval
+must match the streaming Evaluator exactly."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from swat_tpu.core.precision import FP32_PRECISION
+from swat_tpu.data.pipeline import EvalLoader
+from swat_tpu.data.splits import Sample
+from swat_tpu.eval.validate import Evaluator
+from swat_tpu.models.clip import CLIPModel
+from swat_tpu.models.configs import get_model_config
+from swat_tpu.models.head import init_head_random
+from swat_tpu.train.scan_loop import (
+    ResidentData,
+    ResidentEval,
+    epoch_permutation,
+    make_scan_epoch,
+    make_scan_eval,
+)
+from swat_tpu.train.state import create_train_state
+
+CFG = get_model_config("test_tiny")
+
+
+@pytest.fixture(scope="module")
+def samples(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    root = tmp_path_factory.mktemp("imgs")
+    colors = np.asarray([[220, 40, 40], [40, 220, 40], [40, 40, 220]])
+    out = []
+    for i in range(24):
+        label = i % 3
+        arr = (colors[label] + rng.integers(-25, 25, (36, 44, 3))
+               ).clip(0, 255).astype(np.uint8)
+        p = str(root / f"{i}.jpg")
+        Image.fromarray(arr).save(p)
+        out.append(Sample(p, label, i % 2))
+    return out
+
+
+def test_resident_data_shapes(samples):
+    data = ResidentData.from_samples(samples, canvas=48, num_workers=4)
+    assert data.canvases.shape == (24, 48, 48, 3)
+    assert data.canvases.dtype == jnp.uint8
+    assert data.n == 24
+    perm = epoch_permutation(np.random.default_rng(0), 24, 8)
+    assert perm.shape == (3, 8)
+    assert len(set(perm.ravel().tolist())) == 24
+
+
+def test_scan_epoch_learns(samples):
+    model = CLIPModel(CFG, precision=FP32_PRECISION)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32),
+        jnp.zeros((1, CFG.text.context_length), jnp.int32))["params"]
+    head = init_head_random(jax.random.PRNGKey(1), 3, CFG.embed_dim)
+    state, tx = create_train_state(params, head, "cutmix",
+                                   lr_classifier=1e-2, lr_backbone=1e-3,
+                                   total_iter=30)
+    run = make_scan_epoch(model, tx, "cutmix", image_size=32)
+    data = ResidentData.from_samples(samples, canvas=48, num_workers=4)
+    rng = np.random.default_rng(0)
+    losses = []
+    key = jax.random.PRNGKey(0)
+    for epoch in range(6):
+        key, sub = jax.random.split(key)
+        perm = epoch_permutation(rng, data.n, 8)
+        state, loss = run(state, data, perm, sub)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_resident_eval_matches_streaming(samples):
+    model = CLIPModel(CFG, precision=FP32_PRECISION)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32),
+        jnp.zeros((1, CFG.text.context_length), jnp.int32))["params"]
+    head = init_head_random(jax.random.PRNGKey(1), 3, CFG.embed_dim)
+
+    ev = ResidentEval.from_samples(samples, 3, n_px=32, batch_size=8,
+                                   num_workers=4)
+    scan_eval = make_scan_eval(model, 3, batch_size=8)
+    acc_r, loss_r, cm_r = scan_eval(params, head, np.log(100.0), ev)
+
+    evaluator = Evaluator(model, 3)
+    loader = EvalLoader(samples, batch_size=8, n_px=32, num_workers=4)
+    acc_s, loss_s, cm_s = evaluator.validate(
+        params, head, np.log(100.0), loader, return_confusion=True)
+
+    assert acc_r == pytest.approx(acc_s, abs=1e-4)
+    assert loss_r == pytest.approx(loss_s, rel=1e-4)
+    np.testing.assert_array_equal(cm_r, cm_s)
