@@ -1,17 +1,18 @@
 """Benchmark: OpenCLIP ViT-B/32 finetune throughput (images/sec/chip).
 
-Runs the REAL cutmix training step — on-device augmentation from uint8
-canvases (random-resized-crop + flip + normalize + cutmix), ViT-B/32
-forward, CE loss, backward, AdamW with the reference's per-iteration
-warmup-cosine schedule — on the real TPU, bf16 compute / fp32 params.
+Runs the production resident-data training path (swat_tpu.train.scan_loop):
+a whole epoch of REAL cutmix train steps — on-device random-resized-crop +
+flip + normalize from uint8 canvases, cutmix, ViT-B/32 forward, CE loss,
+backward, AdamW with the reference's warmup-cosine schedule — as one
+device program on the real TPU (bf16 compute / fp32 params).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline: the reference (tian1327/SWAT) publishes no throughput numbers
 (SURVEY.md §6); BASELINE_IMG_PER_SEC is a documented estimate of its
 single-A100 fp32 torch loop (bsz 32, PIL worker augmentation):
-ViT-B/32 fwd+bwd ≈ 13 GFLOP/img at the reference's utilization ≈ 1000
-img/s. vs_baseline = measured / estimate.
+ViT-B/32 fwd+bwd ≈ 13 GFLOP/img at that loop's utilization ≈ 1000 img/s.
+vs_baseline = measured / estimate.
 """
 
 import json
@@ -23,7 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_IMG_PER_SEC = 1000.0
 BATCH = 256
-STEPS = 30
+STEPS_PER_EPOCH = 20
+EPOCHS = 3  # timed epochs after warmup
 
 
 def main():
@@ -35,8 +37,8 @@ def main():
 
     from swat_tpu.models.clip import CLIPModel
     from swat_tpu.models.configs import get_model_config
+    from swat_tpu.train.scan_loop import ResidentData, make_scan_epoch
     from swat_tpu.train.state import create_train_state
-    from swat_tpu.train import steps as S
 
     cfg = get_model_config("vitb32_openclip_laion400m")
     model = CLIPModel(cfg)  # bf16 compute policy
@@ -48,37 +50,38 @@ def main():
 
     state, tx = create_train_state(
         params, head, "cutmix", lr_classifier=1e-4, lr_backbone=1e-6,
-        total_iter=STEPS * 10)
-    step = S.make_mixing_step(model, tx, "cutmix")
+        total_iter=STEPS_PER_EPOCH * (EPOCHS + 2))
+    run_epoch = make_scan_epoch(model, tx, "cutmix")
 
+    n = BATCH * 2  # resident pool; batches gathered by permutation
     rng = np.random.default_rng(0)
-    batch = {
-        "canvases": jax.device_put(
-            rng.integers(0, 255, (BATCH, 256, 256, 3)).astype(np.uint8)),
-        "valid_hw": jax.device_put(np.full((BATCH, 2), 256, np.int32)),
-        "labels": jax.device_put(
-            rng.integers(0, 200, BATCH).astype(np.int32)),
-        "source": jax.device_put(
-            rng.integers(0, 2, BATCH).astype(np.int32)),
-    }
-    key = jax.random.PRNGKey(0)
+    data = ResidentData(
+        jax.device_put(rng.integers(0, 255, (n, 256, 256, 3)
+                                    ).astype(np.uint8)),
+        jax.device_put(np.full((n, 2), 256, np.int32)),
+        jax.device_put(rng.integers(0, 200, n).astype(np.int32)),
+        jax.device_put(rng.integers(0, 2, n).astype(np.int32)))
 
-    # warmup / compile (NOTE: block_until_ready is unreliable over the
-    # axon tunnel — a host transfer of the loss forces real completion)
-    for i in range(3):
-        key, sub = jax.random.split(key)
-        state, loss = step(state, batch, sub)
+    def perm():
+        idx = rng.integers(0, n, STEPS_PER_EPOCH * BATCH)
+        return idx.reshape(STEPS_PER_EPOCH, BATCH).astype(np.int32)
+
+    key = jax.random.PRNGKey(0)
+    # warmup/compile (host transfer of the loss forces real completion —
+    # block_until_ready is unreliable over the tunneled TPU)
+    key, sub = jax.random.split(key)
+    state, loss = run_epoch(state, data, perm(), sub)
     _ = float(loss)
 
     t0 = time.perf_counter()
-    for i in range(STEPS):
+    for _ in range(EPOCHS):
         key, sub = jax.random.split(key)
-        state, loss = step(state, batch, sub)
+        state, loss = run_epoch(state, data, perm(), sub)
     _ = float(loss)
     dt = time.perf_counter() - t0
 
     n_chips = max(1, jax.device_count())
-    img_per_sec_per_chip = BATCH * STEPS / dt / n_chips
+    img_per_sec_per_chip = BATCH * STEPS_PER_EPOCH * EPOCHS / dt / n_chips
     print(json.dumps({
         "metric": "vitb32_finetune_images_per_sec_per_chip",
         "value": round(img_per_sec_per_chip, 1),

@@ -171,6 +171,27 @@ def make_prompts(metrics: Mapping[str, dict], dataset: str,
     return prompts
 
 
+def make_attribute_prompts(metrics: Mapping[str, dict], dataset: str,
+                           attributes: Mapping[str, dict],
+                           name_type: str = "most_common_name"
+                           ) -> Dict[str, List[str]]:
+    """Attribute-augmented prompts (reference 'c-name_attribute',
+    utils/prompt.py:134-141): base prompts plus
+    ``template(name) + ' {name} {attr}'`` per visual attribute, with the
+    reference's 'Has'->'has' normalization.  ``attributes``:
+    class_id -> {'corpus': [attr strings]} (visual-attrs json)."""
+    templates = get_templates(dataset, name_type)
+    prompts: Dict[str, List[str]] = {}
+    for class_id in sorted(metrics, key=int):
+        name = metrics[class_id][name_type]
+        corpus = [t.format(name) for t in templates]
+        attrs = attributes.get(str(class_id), {}).get("corpus", [])
+        corpus += [t.format(name) + f" {name} {attr}".replace("Has", "has")
+                   for t in templates for attr in attrs]
+        prompts[class_id] = corpus
+    return prompts
+
+
 def tokenize_prompts(prompts: Mapping[str, List[str]], tokenizer,
                      context_length: int = 77) -> Dict[str, np.ndarray]:
     """class_id -> [n_prompts, context] int32 token array."""

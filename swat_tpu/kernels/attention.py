@@ -43,6 +43,29 @@ def _attention_xla(q, k, v, *, causal: bool, accum_dtype=jnp.float32,
     return out.astype(q.dtype)
 
 
+def attention_heads_last(q, k, v, *, causal: bool,
+                         accum_dtype=jnp.float32,
+                         matmul_precision="default"):
+    """Transpose-free layout: q,k,v [B, S, H, D] -> out [B, S, H, D].
+    The head axis stays in place; XLA contracts directly without the
+    explicit [B,H,S,D] relayouts."""
+    dim = q.shape[-1]
+    scale = 1.0 / (dim ** 0.5)
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, precision=matmul_precision,
+        preferred_element_type=accum_dtype)
+    scores = scores.astype(jnp.float32) * scale
+    if causal:
+        s = q.shape[1]
+        mask = jnp.tril(jnp.ones((s, s), dtype=bool))
+        scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs, v, precision=matmul_precision,
+        preferred_element_type=accum_dtype)
+    return out.astype(q.dtype)
+
+
 def multi_head_attention(q, k, v, *, causal: bool = False,
                          use_pallas: bool = False,
                          accum_dtype=jnp.float32,

@@ -71,15 +71,29 @@ class Attention(nn.Module):
                        name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        def heads_first(t):
-            return t.reshape(b, s, self.heads, head_dim).transpose(0, 2, 1, 3)
+        if self.use_pallas:
+            def heads_first(t):
+                return t.reshape(b, s, self.heads, head_dim).transpose(
+                    0, 2, 1, 3)
 
-        out = multi_head_attention(
-            heads_first(q), heads_first(k), heads_first(v),
-            causal=self.causal, use_pallas=self.use_pallas,
-            accum_dtype=self.precision.accum_dtype,
-            matmul_precision=self.precision.matmul_precision)
-        out = out.transpose(0, 2, 1, 3).reshape(b, s, d)
+            out = multi_head_attention(
+                heads_first(q), heads_first(k), heads_first(v),
+                causal=self.causal, use_pallas=True,
+                accum_dtype=self.precision.accum_dtype,
+                matmul_precision=self.precision.matmul_precision)
+            out = out.transpose(0, 2, 1, 3).reshape(b, s, d)
+        else:
+            from swat_tpu.kernels.attention import attention_heads_last
+
+            def heads_last(t):
+                return t.reshape(b, s, self.heads, head_dim)
+
+            out = attention_heads_last(
+                heads_last(q), heads_last(k), heads_last(v),
+                causal=self.causal,
+                accum_dtype=self.precision.accum_dtype,
+                matmul_precision=self.precision.matmul_precision)
+            out = out.reshape(b, s, d)
         return nn.Dense(d, dtype=self.precision.compute_dtype,
                         param_dtype=self.precision.param_dtype,
                         precision=self.precision.matmul_precision,

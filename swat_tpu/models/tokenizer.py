@@ -198,8 +198,36 @@ def tokenize_batch(tokenizer, texts, context_length: int = CONTEXT_LENGTH
     return out
 
 
+class HFTokenizerAdapter:
+    """Wrap a HuggingFace CLIPTokenizer(Fast) directory (vocab.json +
+    merges.txt) behind the same interface."""
+
+    def __init__(self, path: str):
+        from transformers import CLIPTokenizerFast
+
+        self._tok = CLIPTokenizerFast.from_pretrained(path)
+        self.sot_token = self._tok.bos_token_id
+        self.eot_token = self._tok.eos_token_id
+        self.vocab_size = self._tok.vocab_size
+
+    def encode(self, text: str) -> List[int]:
+        return self._tok.encode(text, add_special_tokens=False)
+
+    def __call__(self, texts, context_length: int = CONTEXT_LENGTH):
+        return tokenize_batch(self, texts, context_length)
+
+
 def get_tokenizer(bpe_path: str | None = None):
-    """SimpleTokenizer if the BPE asset is resolvable, else HashTokenizer."""
+    """Best available tokenizer for the given asset path:
+    * file (``bpe_simple_vocab_16e6.txt[.gz]``) -> SimpleTokenizer
+    * directory with HF vocab.json/merges.txt   -> HFTokenizerAdapter
+    * nothing                                   -> HashTokenizer (tests)
+    """
+    if bpe_path and os.path.isdir(bpe_path):
+        try:
+            return HFTokenizerAdapter(bpe_path)
+        except Exception:
+            pass
     try:
         return SimpleTokenizer(bpe_path)
     except FileNotFoundError:

@@ -75,10 +75,16 @@ def rank_candidates(prompt_matrix: np.ndarray,
         return top_idx, top_sim
 
     if mesh is not None:
+        # shard the candidate axis over the data mesh axis: the big
+        # [C, N] similarity matmul runs sharded on N and GSPMD inserts
+        # the all-gather feeding the final top_k
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        candidate_embeddings = jax.device_put(
-            candidate_embeddings, NamedSharding(mesh, P(None, None)))
+        n = candidate_embeddings.shape[0]
+        axis = mesh.shape.get("data", 1)
+        if n % max(axis, 1) == 0:
+            candidate_embeddings = jax.device_put(
+                candidate_embeddings, NamedSharding(mesh, P("data", None)))
     top_idx, top_sim = run(jnp.asarray(prompt_matrix, jnp.float32),
                            jnp.asarray(candidate_embeddings, jnp.float32),
                            jnp.asarray(candidate_class, jnp.int32))

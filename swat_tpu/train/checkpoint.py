@@ -140,6 +140,43 @@ def load_train_ckpt(path: str, state):
     return new_state, meta
 
 
+def save_train_ckpt_orbax(ckpt_dir: str, step: int, state):
+    """Orbax backend (SURVEY.md §5 'Rebuild: orbax with the same logical
+    bundle') — async-capable StandardCheckpointer keyed by step; msgpack
+    bundles remain the default (simpler, single-file, host-portable)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(ckpt_dir, f"orbax_{step}"))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, {
+        "model": state.model, "head": state.head,
+        "logit_scale": state.logit_scale,
+        "opt_state": serialization.to_state_dict(state.opt_state),
+        "step": np.asarray(state.step),
+    }, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_train_ckpt_orbax(path: str, state):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    template = {
+        "model": state.model, "head": state.head,
+        "logit_scale": state.logit_scale,
+        "opt_state": serialization.to_state_dict(state.opt_state),
+        "step": np.asarray(state.step),
+    }
+    restored = ckptr.restore(os.path.abspath(path), template)
+    opt_state = serialization.from_state_dict(state.opt_state,
+                                              restored["opt_state"])
+    return state.replace(model=restored["model"], head=restored["head"],
+                         logit_scale=restored["logit_scale"],
+                         opt_state=opt_state,
+                         step=np.asarray(restored["step"]))
+
+
 def save_test_scores(scores: dict, confusion_matrix, output_dir: str,
                      tag: str, stage: int = 1):
     """reference utils/models.py:149-159 (npy instead of pickle)."""

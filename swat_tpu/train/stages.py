@@ -333,8 +333,26 @@ class SwatPipeline:
                                        image_size)
         elif method == "CMLP":
             step = S.make_cmlp_step(self.model, tx, loss)
-            text_feats, text_labels = _flatten_prompt_bank(
-                self.prompt_tensors)
+            bank = self.prompt_tensors
+            if cfg.use_attribute:
+                # attribute-augmented text bank (reference
+                # set_text_dataloader, utils/dataloader.py:257-266)
+                import json as _json
+
+                attr_path = os.path.join(
+                    cfg.dataset_root, "prompts",
+                    f"visual-attrs-{cfg.dataset}.json")
+                with open(attr_path) as f:
+                    attributes = _json.load(f)
+                metrics = P.load_class_metrics(cfg.metrics_file)
+                attr_prompts = P.make_attribute_prompts(
+                    metrics, cfg.dataset, attributes, cfg.prompt_name)
+                tokenized = P.tokenize_prompts(
+                    attr_prompts, self.tokenizer,
+                    self.model_cfg.text.context_length)
+                bank = P.encode_prompts(
+                    self._encode_text_fn(self.params), tokenized)
+            text_feats, text_labels = _flatten_prompt_bank(bank)
             twin_cycler = CyclingLoader(FeatureBatches(
                 text_feats, text_labels, batch_size=cfg.bsz, shuffle=True,
                 drop_last=True, seed=cfg.training_seed))

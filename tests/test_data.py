@@ -167,3 +167,15 @@ def test_calculate_scores_and_cm():
     cm2 = confusion_matrix_update(np.zeros((3, 3), np.int64), preds, labels,
                                   np.array([1, 1, 1, 0, 0], bool))
     assert cm2.sum() == 3
+
+
+def test_attribute_prompts():
+    from swat_tpu.data.prompts import make_attribute_prompts
+
+    metrics = {"0": {"most_common_name": "robin"}}
+    attributes = {"0": {"corpus": ["Has red breast", "small beak"]}}
+    prompts = make_attribute_prompts(metrics, "flowers102", attributes)
+    assert prompts["0"][0] == "a photo of a robin, a type of flower."
+    assert ("a photo of a robin, a type of flower. robin has red breast"
+            in prompts["0"])
+    assert len(prompts["0"]) == 3

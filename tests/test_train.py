@@ -272,3 +272,21 @@ def test_train_ckpt_resume_roundtrip(tiny_model, rng, tmp_path):
     np.testing.assert_allclose(float(l_a), float(l_b), rtol=1e-6)
     np.testing.assert_allclose(
         np.asarray(s_a.head), np.asarray(s_b.head), rtol=1e-6)
+
+
+def test_orbax_ckpt_roundtrip(tiny_model, rng, tmp_path):
+    from swat_tpu.train.checkpoint import (
+        load_train_ckpt_orbax,
+        save_train_ckpt_orbax,
+    )
+
+    model, params = tiny_model
+    head = init_head_random(jax.random.PRNGKey(1), 4, CFG.embed_dim)
+    state, tx = create_train_state(params, head, "probing",
+                                   lr_classifier=1e-2, total_iter=10)
+    path = save_train_ckpt_orbax(str(tmp_path), 0, state)
+    state2, _ = create_train_state(params, head, "probing",
+                                   lr_classifier=1e-2, total_iter=10)
+    restored = load_train_ckpt_orbax(path, state2)
+    np.testing.assert_array_equal(np.asarray(restored.head),
+                                  np.asarray(state.head))
