@@ -22,8 +22,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+# jax is pre-imported by site customization with JAX_PLATFORMS=axon baked
+# into its config — env vars set above are too late; update the live
+# config (legal until the first backend initialization)
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/swat_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+assert jax.default_backend() == "cpu", (
+    "tests must run on the virtual CPU mesh, got "
+    f"{jax.default_backend()}")
+assert jax.device_count() >= 8, "xla_force_host_platform_device_count lost"
 
 import numpy as np
 import pytest

@@ -1,0 +1,63 @@
+"""Multi-device SPMD: the full train step over a dp x tp mesh (the CI face
+of __graft_entry__.dryrun_multichip), plus data-parallel gradient-sync
+equivalence: a dp=8-sharded step must match the single-device step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from swat_tpu.core.mesh import MeshSpec, create_mesh
+from swat_tpu.core.precision import FP32_PRECISION
+from swat_tpu.models.clip import CLIPModel
+from swat_tpu.models.configs import get_model_config
+from swat_tpu.models.head import init_head_random
+from swat_tpu.train import steps as S
+from swat_tpu.train.state import create_train_state
+
+CFG = get_model_config("test_tiny")
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+def test_dp_sharded_step_matches_single_device(rng):
+    """Batch sharded over 8 devices == unsharded: GSPMD's psum gradient
+    reduction must be numerically equivalent (fp32)."""
+    model = CLIPModel(CFG, precision=FP32_PRECISION)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32),
+        jnp.zeros((1, CFG.text.context_length), jnp.int32))["params"]
+    head = init_head_random(jax.random.PRNGKey(1), 3, CFG.embed_dim)
+
+    batch_np = {
+        "images": rng.normal(size=(16, 32, 32, 3)).astype(np.float32),
+        "labels": rng.integers(0, 3, 16).astype(np.int32),
+        "source": rng.integers(0, 2, 16).astype(np.int32),
+    }
+
+    def run(mesh):
+        state, tx = create_train_state(
+            params, head, "finetune", lr_classifier=1e-3,
+            lr_backbone=1e-4, total_iter=10)
+        step = S.make_ce_step(model, tx, image_size=32)
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        if mesh is not None:
+            batch = {k: jax.device_put(
+                v, NamedSharding(mesh, P("data", *[None] * (v.ndim - 1))))
+                for k, v in batch.items()}
+            state = jax.device_put(state, NamedSharding(mesh, P()))
+        new_state, loss = step(state, batch, jax.random.PRNGKey(3))
+        return float(loss), np.asarray(new_state.head)
+
+    loss_1, head_1 = run(None)
+    mesh = create_mesh(MeshSpec(data=8, model=1))
+    loss_8, head_8 = run(mesh)
+
+    assert loss_1 == pytest.approx(loss_8, rel=1e-5)
+    np.testing.assert_allclose(head_1, head_8, rtol=1e-5, atol=1e-7)
