@@ -1,0 +1,129 @@
+"""Retrieval-path benchmark (informational; bench.py stays the headline).
+
+Measures the three retrieval stages on synthetic data:
+  1. C++ caption-index build + AND-query throughput (vs the python engine)
+  2. CLIP text-embedding throughput (captions/sec) on the TPU
+  3. ranked top-k sampling QPS over the full candidate pool
+
+Prints one JSON line per stage.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_CAPTIONS = 200_000
+N_QUERIES = 200
+
+
+def bench_index():
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    vocab = [f"word{i}" for i in range(5000)]
+    captions = [" ".join(rng.choice(vocab, size=rng.integers(4, 16)))
+                for _ in range(N_CAPTIONS)]
+    queries = [" ".join(rng.choice(vocab, size=2)) for _ in range(N_QUERIES)]
+
+    from swat_tpu.retrieval.indexer import build_library, NativeCaptionIndex
+
+    results = {}
+    if build_library():
+        t0 = time.perf_counter()
+        idx = NativeCaptionIndex(captions)
+        build_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        hits = sum(len(idx.query(q)) for q in queries)
+        query_s = time.perf_counter() - t0
+        results = {
+            "metric": "caption_index_cpp",
+            "build_captions_per_sec": round(N_CAPTIONS / build_s),
+            "query_per_sec": round(N_QUERIES / query_s),
+            "hits": hits,
+        }
+        print(json.dumps(results))
+
+    from swat_tpu.retrieval.stringmatch import CaptionIndex
+
+    t0 = time.perf_counter()
+    pidx = CaptionIndex(captions[: N_CAPTIONS // 10])  # python is slow
+    build_s = (time.perf_counter() - t0) * 10
+    t0 = time.perf_counter()
+    _ = sum(len(pidx.query(q)) for q in queries)
+    query_s = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "caption_index_python",
+        "build_captions_per_sec": round(N_CAPTIONS / build_s),
+        "query_per_sec": round(N_QUERIES / query_s),
+    }))
+
+
+def bench_embed_and_topk():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/swat_jax_cache")
+
+    from swat_tpu.models.clip import CLIPModel
+    from swat_tpu.models.configs import get_model_config
+    from swat_tpu.retrieval.rank import rank_candidates
+
+    cfg = get_model_config("vitb32_openclip_laion400m")
+    model = CLIPModel(cfg)
+    params = jax.device_put(model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 224, 224, 3), jnp.float32),
+        jnp.zeros((1, 77), jnp.int32))["params"])
+
+    B, K = 1024, 8
+    rng = np.random.default_rng(0)
+    tokens = jax.device_put(
+        rng.integers(1, 49000, (B, 77)).astype(np.int32))
+
+    @jax.jit
+    def encode(params, tokens):
+        def body(c, i):
+            t = jnp.where(tokens == 0, i.astype(jnp.int32), tokens)
+            f = model.apply({"params": params}, t, True,
+                            method=CLIPModel.encode_text)
+            return c + f.mean(), None
+        s, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(K))
+        return s
+
+    _ = float(encode(params, tokens))
+    t0 = time.perf_counter()
+    _ = float(encode(params, tokens))
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "caption_embed_qps",
+        "value": round(B * K / dt, 1),
+        "unit": "captions/sec/chip",
+    }))
+
+    # top-k ranking over a 1M x 512 candidate pool, 200 classes
+    C, N, D = 200, 1_000_000, 512
+    prompts = rng.normal(size=(C, D)).astype(np.float32)
+    cands = rng.normal(size=(N, D)).astype(np.float32)
+    cls = rng.integers(0, C, N).astype(np.int32)
+    t0 = time.perf_counter()
+    top_idx, top_sim = rank_candidates(prompts, cands, cls, top_k=500)
+    dt_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    top_idx, top_sim = rank_candidates(prompts, cands, cls, top_k=500)
+    _ = top_idx.sum()
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "rank_topk_candidates_per_sec",
+        "value": round(N / dt),
+        "unit": "candidates/sec (200 classes x 1M pool, top-500)",
+        "compile_s": round(dt_first, 1),
+    }))
+
+
+if __name__ == "__main__":
+    bench_index()
+    bench_embed_and_topk()

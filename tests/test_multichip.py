@@ -61,3 +61,32 @@ def test_dp_sharded_step_matches_single_device(rng):
 
     assert loss_1 == pytest.approx(loss_8, rel=1e-5)
     np.testing.assert_allclose(head_1, head_8, rtol=1e-5, atol=1e-7)
+
+
+def test_tp_sharded_forward_matches_replicated(rng):
+    """Tensor-parallel param sharding (column/row-parallel attention+MLP,
+    models/clip.partition_specs) must not change the forward result."""
+    from swat_tpu.models.clip import partition_specs
+
+    model = CLIPModel(CFG, precision=FP32_PRECISION)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32),
+        jnp.zeros((1, CFG.text.context_length), jnp.int32))["params"]
+    images = jnp.asarray(rng.normal(size=(8, 32, 32, 3)).astype(np.float32))
+
+    @jax.jit
+    def encode(params, images):
+        return model.apply({"params": params}, images, True,
+                           method=CLIPModel.encode_image)
+
+    ref = np.asarray(encode(params, images))
+
+    mesh = create_mesh(MeshSpec(data=4, model=2))
+    specs = partition_specs(params)
+    sharded = jax.tree_util.tree_map(
+        lambda p, s: jax.device_put(p, NamedSharding(mesh, s)),
+        params, specs, is_leaf=lambda x: isinstance(x, jnp.ndarray))
+    images_s = jax.device_put(
+        images, NamedSharding(mesh, P("data", None, None, None)))
+    out = np.asarray(encode(sharded, images_s))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
