@@ -155,6 +155,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", default=False, type=str2bool)
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--trace_dir", type=str, default=None)
     p.add_argument("--config_yml", type=str, default="config.yml")
     return p
 

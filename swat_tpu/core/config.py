@@ -120,6 +120,8 @@ class RunConfig:
     # device program (swat_tpu.train.scan_loop)
     resident: str = "auto"                    # 'auto' | 'on' | 'off'
     resident_budget_bytes: int = 6_000_000_000
+    # jax.profiler trace output dir (xplane, viewable in xprof/tensorboard)
+    trace_dir: Optional[str] = None
 
     # ------------------------------------------------------------------
     # derived (reference utils/parser.py:154-216)

@@ -49,30 +49,51 @@ def i2i_similarity(fewshot_embeddings: np.ndarray,
 # batched whole-dataset ranking
 
 
-def rank_candidates(prompt_matrix: np.ndarray,
-                    candidate_embeddings: np.ndarray,
-                    candidate_class: np.ndarray,
-                    top_k: int,
-                    mesh=None) -> Tuple[np.ndarray, np.ndarray]:
-    """One fused pass over ALL classes' candidates.
+import functools
 
-    prompt_matrix:       [C, D]  (per-class mean prompt embeddings)
-    candidate_embeddings:[N, D]  (caption or image embeddings)
-    candidate_class:     [N]     class id per candidate
-    Returns (top_idx [C, top_k] indices into N, top_sim [C, top_k]);
-    entries beyond a class's candidate count hold -1 / -inf.
-    """
-    C = prompt_matrix.shape[0]
+
+@functools.lru_cache(maxsize=16)
+def _rank_fn(num_classes: int, top_k: int, approx: bool):
+    """Compiled once per (C, k, mode) — a fresh jit closure per call would
+    recompile every time."""
 
     @jax.jit
     def run(prompts, cands, cls_ids):
         sims = jnp.einsum("cd,nd->cn", prompts, cands, precision="highest",
                           preferred_element_type=jnp.float32)
-        mask = cls_ids[None, :] == jnp.arange(C)[:, None]
+        mask = cls_ids[None, :] == jnp.arange(num_classes)[:, None]
         sims = jnp.where(mask, sims, -jnp.inf)
-        top_sim, top_idx = jax.lax.top_k(sims, top_k)
+        if approx:
+            # TPU-native approximate top-k (partial reduce, no full sort);
+            # recall_target 0.99 of the true top-k
+            top_sim, top_idx = jax.lax.approx_max_k(
+                sims, top_k, recall_target=0.99)
+        else:
+            top_sim, top_idx = jax.lax.top_k(sims, top_k)
         top_idx = jnp.where(jnp.isfinite(top_sim), top_idx, -1)
         return top_idx, top_sim
+
+    return run
+
+
+def rank_candidates(prompt_matrix: np.ndarray,
+                    candidate_embeddings: np.ndarray,
+                    candidate_class: np.ndarray,
+                    top_k: int,
+                    mesh=None,
+                    approx: bool = False) -> Tuple[np.ndarray, np.ndarray]:
+    """One fused pass over ALL classes' candidates.
+
+    prompt_matrix:       [C, D]  (per-class mean prompt embeddings)
+    candidate_embeddings:[N, D]  (caption or image embeddings)
+    candidate_class:     [N]     class id per candidate
+    approx=True uses lax.approx_max_k (TPU-optimized; 0.99 recall) for
+    corpus-scale pools where a full per-row sort dominates.
+    Returns (top_idx [C, top_k] indices into N, top_sim [C, top_k]);
+    entries beyond a class's candidate count hold -1 / -inf.
+    """
+    C = prompt_matrix.shape[0]
+    run = _rank_fn(C, top_k, approx)
 
     if mesh is not None:
         # shard the candidate axis over the data mesh axis: the big

@@ -802,6 +802,12 @@ class SwatPipeline:
     # full run (reference __main__, main.py:544-606)
 
     def run(self) -> str:
+        from swat_tpu.utils.profiling import maybe_trace
+
+        with maybe_trace(self.cfg.trace_dir):
+            return self._run_impl()
+
+    def _run_impl(self) -> str:
         cfg = self.cfg
         start = time.time()
         stage1_method = cfg.method

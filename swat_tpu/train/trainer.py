@@ -125,13 +125,19 @@ def train_loop(
             num_iter += steps_per_epoch
             train_loss_sum = float(avg_loss) * steps_per_epoch
         else:
+            # keep losses on device until epoch end: materializing per
+            # step would serialize dispatch against compute and stall the
+            # pipeline on every host round-trip
+            epoch_losses = []
             for batch in train_batches():
                 num_iter += 1
                 key, sub = jax.random.split(key)
                 if mesh is not None:
                     batch = shard_batch(mesh, batch)
                 state, loss = step_fn(state, batch, sub)
-                train_loss_sum += float(loss)
+                epoch_losses.append(loss)
+            train_loss_sum = float(sum(epoch_losses[1:], epoch_losses[0])) \
+                if epoch_losses else 0.0
 
         if post_epoch is not None:
             state = post_epoch(state, epoch)

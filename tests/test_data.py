@@ -179,3 +179,15 @@ def test_attribute_prompts():
     assert ("a photo of a robin, a type of flower. robin has red breast"
             in prompts["0"])
     assert len(prompts["0"]) == 3
+
+
+def test_worst_k_classes():
+    from swat_tpu.eval.analysis import worst_k_classes
+
+    cm = np.array([[8, 2, 0], [0, 5, 5], [1, 9, 0]])
+    scores = calculate_scores(cm)
+    out = worst_k_classes(scores, cm, n_worst=2, top_confusions=3,
+                          id_to_name={"0": "a", "1": "b", "2": "c"})
+    assert list(out) == ["2", "1"]  # recall 0.0 then 0.5
+    top = out["2"]["confused_with"][0]
+    assert top[0] == 1 and top[1] == "b" and top[2] == 9
