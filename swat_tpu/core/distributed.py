@@ -1,0 +1,50 @@
+"""Multi-host initialization.
+
+The reference has no distributed launcher (SURVEY.md §2.3 — SLURM only
+schedules independent 1-GPU jobs).  Here multi-host TPU slices initialize
+through `jax.distributed` with the standard TPU environment autodetection;
+meshes created afterwards (`core.mesh.create_mesh`) span all hosts'
+devices, and per-host input pipelines feed their local shard.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+
+def maybe_initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Initialize jax.distributed when running multi-host.
+
+    Triggers when explicit arguments are given or when the standard env
+    vars are present (JAX_COORDINATOR_ADDRESS / TPU pod runtime vars).
+    Returns True if distributed mode is active."""
+    import jax
+
+    explicit = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    on_pod = os.environ.get("TPU_WORKER_HOSTNAMES", "").count(",") > 0
+    if not explicit and not on_pod:
+        return False
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+        return True
+    except (RuntimeError, ValueError):
+        # already initialized (or single-process run)
+        return jax.process_count() > 1
+
+
+def process_local_slice(n_items: int) -> slice:
+    """This host's contiguous shard of a length-n dataset (per-host input
+    pipelines feed only their shard; GSPMD assembles the global batch)."""
+    import jax
+
+    per = n_items // jax.process_count()
+    start = jax.process_index() * per
+    return slice(start, start + per)

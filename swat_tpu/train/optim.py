@@ -101,12 +101,9 @@ FROZEN_METHODS = {"zeroshot", "probing", "REAL-Linear", "CMLP"}
 LOG100 = 4.60517  # ln(100), fixed logit_scale for frozen methods (:51,58)
 
 
-def label_params(params, method: str) -> Dict:
+def label_params(params, method: str, locked_text: bool = False) -> Dict:
     """Label the *model* param tree. The head / logit_scale leaves are
     labeled by the train state itself (swat_tpu.train.state)."""
-
-    def label_leaf_visual(_):
-        return "backbone"
 
     def const(tag):
         return lambda tree: jax.tree_util.tree_map(lambda _: tag, tree)
@@ -123,9 +120,14 @@ def label_params(params, method: str) -> Dict:
 
     if method == "FLYP":
         vis = const("backbone")(params["visual"])
-        txt = const("backbone")(params["text"])
         vis["proj"] = "projector"
-        txt["text_projection"] = "projector"
+        if locked_text:
+            # --locked_text freezes the text tower (reference
+            # utils/optimizers.py:89-93)
+            txt = const("frozen")(params["text"])
+        else:
+            txt = const("backbone")(params["text"])
+            txt["text_projection"] = "projector"
         return {"visual": vis, "text": txt}
 
     raise NotImplementedError(f"Method {method} not implemented.")

@@ -323,7 +323,8 @@ class SwatPipeline:
             params, head, method, lr_classifier=cfg.lr_classifier,
             lr_backbone=cfg.lr_backbone, total_iter=total_iter,
             wd=cfg.wd, optim_type=cfg.optim,
-            lr_projector=cfg.lr_projector, temperature=cfg.temperature)
+            lr_projector=cfg.lr_projector, temperature=cfg.temperature,
+            locked_text=cfg.locked_text)
 
         # ---- step + batch composition
         twin_cycler = None

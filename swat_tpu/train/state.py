@@ -51,13 +51,13 @@ def init_logit_scale(method: str, temperature: float = 0.07) -> float:
     return LOG100
 
 
-def make_labels(params, method: str, head=None):
+def make_labels(params, method: str, head=None, locked_text: bool = False):
     """Label tree matching the trainable structure. ``head`` may be an
     array or a pytree of arrays (multitask uses {'cls','dataset'})."""
     head_labels = ("head" if head is None else
                    jax.tree_util.tree_map(lambda _: "head", head))
     return {
-        "model": label_params(params, method),
+        "model": label_params(params, method, locked_text),
         "head": head_labels,
         "logit_scale": "head" if trains_logit_scale(method) else "frozen",
     }
@@ -71,10 +71,11 @@ def create_train_state(params, head, method: str, *,
                        optim_type: str = "AdamW",
                        lr_projector: Optional[float] = None,
                        temperature: float = 0.07,
-                       logit_scale: Optional[float] = None):
+                       logit_scale: Optional[float] = None,
+                       locked_text: bool = False):
     """Returns (state, tx). ``params``/``head`` may be host arrays; they are
     device_put once here (host trees re-upload per step otherwise)."""
-    labels = make_labels(params, method, head)
+    labels = make_labels(params, method, head, locked_text)
     tx = build_optimizer(labels, lr_classifier=lr_classifier,
                          lr_backbone=lr_backbone, total_iter=total_iter,
                          wd=wd, optim_type=optim_type,
