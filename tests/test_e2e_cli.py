@@ -154,3 +154,38 @@ def test_cli_parse_matches_reference_flags(dataset_dir, tmp_path):
     assert not cfg.freeze_visual
     train_files, train_dirs = cfg.train_split
     assert train_files == ["fewshot4_seed2.txt", "T2T500+T2I0.25.txt"]
+
+
+def test_resident_off_matches_streaming_learning(dataset_dir, tmp_path):
+    """cutmix with --resident off (streaming twin of the resident path)
+    still trains through the pipeline."""
+    from swat_tpu.train.stages import SwatPipeline
+
+    cfg = make_cfg(dataset_dir, tmp_path, method="cutmix",
+                   data_source="fewshot", epochs=2, lr_classifier=1e-2,
+                   lr_backbone=1e-4, resident="off", skip_stage2=True)
+    pipe = SwatPipeline(cfg)
+    acc, path, _ = pipe.run_stage1()
+    assert 0.0 <= acc <= 100.001
+
+
+def test_determinism_same_seed_same_losses(dataset_dir, tmp_path):
+    """Two identical runs (same training_seed) produce identical loss.csv
+    training-loss columns (SURVEY §4 'seed-deterministic tiny-run')."""
+    import shutil
+
+    from swat_tpu.train.stages import SwatPipeline
+
+    losses = []
+    for run in range(2):
+        cfg = make_cfg(dataset_dir, tmp_path / f"det{run}", method="cutmix",
+                       data_source="fewshot", epochs=2,
+                       lr_classifier=1e-2, skip_stage2=True, no_wsft=True,
+                       no_tau=True)
+        pipe = SwatPipeline(cfg)
+        pipe.run_stage1()
+        pipe.loss_logger.close()
+        lines = open(os.path.join(cfg.output_dir,
+                                  "loss.csv")).read().splitlines()[1:]
+        losses.append([line.split(",")[2] for line in lines])
+    assert losses[0] == losses[1]
