@@ -79,24 +79,60 @@ def epoch_permutation(rng: np.random.Generator, n: int, batch_size: int
         np.int32)
 
 
+SCAN_METHODS = {"finetune", "cutmix", "mixup", "resizemix", "saliencymix"}
+SCAN_TWIN_METHODS = {"cutmix-fs", "finetune-mixed", "mixup-fs", "CMO"}
+
+
 def make_scan_epoch(model: CLIPModel, tx, method: str,
                     loss: LossFn = cross_entropy, *,
                     mixup_alpha: float = 1.0, cutmix_beta: float = 1.0,
                     mix_prob: float = 0.5, image_size: int = 224):
-    """Returns jitted epoch_fn(state, data_tuple, perm, key) ->
-    (state, mean_loss).  Supported methods: finetune/cutmix/mixup/
-    resizemix/saliencymix (single-loader family)."""
+    """Returns run(state, data, perm, key[, twin_data, twin_perm]) ->
+    (state, mean_loss), one device dispatch per epoch.
 
-    def one_step(state: TrainState, canvases, valid_hw, labels, source,
-                 key):
-        k_aug, k_mix = jax.random.split(key)
+    Single-loader methods (SCAN_METHODS) ignore the twin arguments;
+    twin methods (SCAN_TWIN_METHODS) gather the second batch from a
+    second resident dataset (the reference's two-loader pattern, e.g.
+    utils/training.py:1566-1620, with CMO's inverse-frequency sampling
+    expressed through the twin permutation)."""
+
+    def one_step(state: TrainState, batch, twin, key):
+        k_aug, k_aug2, k_mix = jax.random.split(key, 3)
 
         def loss_fn(trainable):
-            images = aug.train_augment(canvases, valid_hw, k_aug,
-                                       out_size=image_size)
+            images = aug.train_augment(batch["canvases"], batch["valid_hw"],
+                                       k_aug, out_size=image_size)
+            labels = batch["labels"]
+            source = batch["source"]
+            lam_vec = None
+            if twin is not None:
+                images2 = aug.train_augment(
+                    twin["canvases"], twin["valid_hw"], k_aug2,
+                    out_size=image_size)
+
             if method == "cutmix":
                 images, y_a, y_b, lam = aug.cutmix(
                     images, labels, k_mix, cutmix_beta, mix_prob)
+            elif method == "cutmix-fs":
+                images = jnp.concatenate([images, images2], axis=0)
+                labels = jnp.concatenate([labels, twin["labels"]], axis=0)
+                source = jnp.concatenate([source, twin["source"]], axis=0)
+                images, y_a, y_b, lam = aug.cutmix(
+                    images, labels, k_mix, cutmix_beta, mix_prob)
+            elif method == "finetune-mixed":
+                images = jnp.concatenate([images, images2], axis=0)
+                labels = jnp.concatenate([labels, twin["labels"]], axis=0)
+                source = jnp.concatenate([source, twin["source"]], axis=0)
+                y_a = y_b = labels
+                lam = 1.0
+            elif method == "CMO":
+                images, y_a, y_b, lam = aug.cutmix_from(
+                    images, labels, images2, twin["labels"], k_mix,
+                    cutmix_beta, mix_prob)
+            elif method == "mixup-fs":
+                images, y_a, y_b, lam = aug.mixup_fs(
+                    images, labels, images2, twin["labels"], k_mix,
+                    mixup_alpha, mix_prob)
             elif method == "mixup":
                 images, y_a, y_b, lam = aug.mixup(
                     images, labels, k_mix, mixup_alpha, mix_prob)
@@ -104,8 +140,9 @@ def make_scan_epoch(model: CLIPModel, tx, method: str,
                 images, y_a, y_b, lam = aug.resizemix(
                     images, labels, k_mix, mix_prob)
             elif method == "saliencymix":
-                images, y_a, y_b, lam = aug.saliencymix(
+                images, y_a, y_b, lam_vec = aug.saliencymix(
                     images, labels, k_mix, cutmix_beta, mix_prob)
+                lam = None
             elif method == "finetune":
                 y_a = y_b = labels
                 lam = 1.0
@@ -115,10 +152,10 @@ def make_scan_epoch(model: CLIPModel, tx, method: str,
                                 True, method=CLIPModel.encode_image)
             logits = head_logits(trainable["head"], feats) * jnp.exp(
                 trainable["logit_scale"])
-            if method == "saliencymix":
+            if lam_vec is not None:
                 from swat_tpu.train.losses import mixup_criterion_lam_vector
 
-                return mixup_criterion_lam_vector(logits, y_a, y_b, lam)
+                return mixup_criterion_lam_vector(logits, y_a, y_b, lam_vec)
             return mixup_criterion(loss, logits, y_a, y_b, lam, source)
 
         val, grads = jax.value_and_grad(loss_fn)(state.trainable)
@@ -129,25 +166,48 @@ def make_scan_epoch(model: CLIPModel, tx, method: str,
         return state.replace_trainable(new_tr, opt_state=new_opt,
                                        step=state.step + 1), val
 
-    @functools.partial(jax.jit, donate_argnums=0)
-    def epoch_fn(state, canvases, valid_hw, labels, source, perm, key):
+    def _gather(arrays, idx):
+        return {
+            "canvases": arrays[0][idx], "valid_hw": arrays[1][idx],
+            "labels": arrays[2][idx], "source": arrays[3][idx],
+        }
+
+    @functools.partial(jax.jit, donate_argnums=0, static_argnums=(7,))
+    def epoch_fn(state, primary, perm, key, twin, twin_perm, _unused,
+                 has_twin):
         steps = perm.shape[0]
         keys = jax.random.split(key, steps)
 
         def body(carry, xs):
             st, loss_sum = carry
-            idx, k = xs
-            st, val = one_step(st, canvases[idx], valid_hw[idx],
-                               labels[idx], source[idx], k)
+            if has_twin:
+                idx, tidx, k = xs
+                batch = _gather(primary, idx)
+                tw = _gather(twin, tidx)
+            else:
+                idx, k = xs
+                batch = _gather(primary, idx)
+                tw = None
+            st, val = one_step(st, batch, tw, k)
             return (st, loss_sum + val), None
 
+        xs = (perm, twin_perm, keys) if has_twin else (perm, keys)
         (state, loss_sum), _ = jax.lax.scan(
-            body, (state, jnp.float32(0)), (perm, keys))
+            body, (state, jnp.float32(0)), xs)
         return state, loss_sum / steps
 
-    def run(state, data: ResidentData, perm: np.ndarray, key):
-        return epoch_fn(state, data.canvases, data.valid_hw, data.labels,
-                        data.source, jnp.asarray(perm), key)
+    def run(state, data: ResidentData, perm: np.ndarray, key,
+            twin_data: "ResidentData" = None,
+            twin_perm: Optional[np.ndarray] = None):
+        primary = (data.canvases, data.valid_hw, data.labels, data.source)
+        has_twin = twin_data is not None
+        twin = (primary if not has_twin else
+                (twin_data.canvases, twin_data.valid_hw, twin_data.labels,
+                 twin_data.source))
+        tp = (jnp.asarray(twin_perm) if has_twin
+              else jnp.zeros((perm.shape[0], 1), jnp.int32))
+        return epoch_fn(state, primary, jnp.asarray(perm), key, twin, tp,
+                        None, has_twin)
 
     return run
 

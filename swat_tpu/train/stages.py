@@ -284,24 +284,38 @@ class SwatPipeline:
                                    if method == "FLYP" else None))
 
         # resident-dataset scan path (one dispatch per epoch) for the
-        # single-loader image methods
+        # single-loader image methods and the *-fs twin-loader family
         resident_data = None
-        RESIDENT_METHODS = {"finetune", "cutmix", "mixup", "resizemix",
-                            "saliencymix"}
+        resident_twin = None
+        from swat_tpu.train.scan_loop import (
+            SCAN_METHODS,
+            SCAN_TWIN_METHODS,
+        )
+
         if (not frozen and cfg.resident != "off"
                 and cfg.aug_mode == "canvas"
-                and method in RESIDENT_METHODS):
+                and method in (SCAN_METHODS | SCAN_TWIN_METHODS)):
             from swat_tpu.data.transforms import CANVAS_SIZE
             from swat_tpu.train.scan_loop import ResidentData
 
             samples = self._samples(cfg.train_split)
-            est = len(samples) * CANVAS_SIZE * CANVAS_SIZE * 3
+            twin_samples = (self._samples(cfg.fewshot_data)
+                            if method in SCAN_TWIN_METHODS else [])
+            if method == "CMO":
+                twin_samples = self._samples(cfg.train_split)
+            est = (len(samples) + len(twin_samples)) * \
+                CANVAS_SIZE * CANVAS_SIZE * 3
             if cfg.resident == "on" or est <= cfg.resident_budget_bytes:
                 resident_data = ResidentData.from_samples(
                     samples, num_workers=cfg.num_workers)
+                if method in SCAN_TWIN_METHODS:
+                    resident_twin = ResidentData.from_samples(
+                        twin_samples, num_workers=cfg.num_workers)
                 logger.info(
-                    f"Resident train data: {len(samples)} canvases "
-                    f"({est / 1e9:.2f} GB) on device; scan-epoch mode.")
+                    f"Resident train data: {len(samples)}"
+                    f"{' + ' + str(len(twin_samples)) if twin_samples else ''}"
+                    f" canvases ({est / 1e9:.2f} GB) on device; "
+                    "scan-epoch mode.")
 
         steps_per_epoch = len(train_loader)
         total_iter = steps_per_epoch * max(cfg.epochs, 1)
@@ -502,10 +516,37 @@ class SwatPipeline:
                 cutmix_beta=cfg.cutmix_beta, mix_prob=cfg.mix_prob,
                 image_size=image_size)
             perm_rng = np.random.default_rng(cfg.training_seed)
+            twin_bsz = max(1, int(cfg.bsz * cfg.fewshot_ratio))
+            cmo_probs = None
+            if method == "CMO":
+                from swat_tpu.data.pipeline import WeightedSampler
+
+                cmo_probs = WeightedSampler(
+                    self._samples(cfg.train_split), cfg.num_classes,
+                    cfg.cmo_alpha).p
 
             def epoch_runner(state, epoch, key):
                 perm = epoch_permutation(perm_rng, resident_data.n, cfg.bsz)
-                return scan_epoch(state, resident_data, perm, key)
+                if resident_twin is None:
+                    return scan_epoch(state, resident_data, perm, key)
+                steps = perm.shape[0]
+                if method == "CMO":
+                    # twin batch = inverse-frequency sample of the full
+                    # train set, same batch size as the primary
+                    tperm = perm_rng.choice(
+                        resident_twin.n, size=(steps, cfg.bsz),
+                        replace=True, p=cmo_probs).astype(np.int32)
+                else:
+                    # few-shot twin loader cycles with its own shuffles
+                    # (reference utils/training.py:724-737)
+                    need = steps * twin_bsz
+                    reps = []
+                    while sum(len(r) for r in reps) < need:
+                        reps.append(perm_rng.permutation(resident_twin.n))
+                    tperm = np.concatenate(reps)[:need].reshape(
+                        steps, twin_bsz).astype(np.int32)
+                return scan_epoch(state, resident_data, perm, key,
+                                  resident_twin, tperm)
 
         ckpt_dir = os.path.join(cfg.output_dir, "model_ckpts")
         return train_loop(
