@@ -1,0 +1,40 @@
+"""Legacy dataset readers: semi-iNat / semi-fungi split files and
+pseudo-label merging.
+
+Functional equivalent of the reference's iNat loader (reference
+utils/datasets/inat_dataset.py:9-35): split files are ``<path> <label>``
+lines (semi-fungi paths end in '.JPG' and are split on that marker), with
+an optional pseudo-label list appended (the utrain flow).  Output uses the
+standard `Sample` type so the normal loaders/pipelines consume it.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+from swat_tpu.data.splits import Sample
+
+
+def read_legacy_split(dataset_root: str, split: str, task: str = "All",
+                      pl_list: Optional[Sequence[str]] = None
+                      ) -> List[Sample]:
+    """split: file stem (e.g. 'l_train', 'u_train_in'); task 'semi_fungi'
+    uses the '.JPG ' separator quirk."""
+    path = os.path.join(dataset_root, split + ".txt")
+    with open(path) as f:
+        lines = f.readlines()
+
+    def parse(line: str):
+        line = line.strip("\n")
+        if task == "semi_fungi":
+            p, label = line.rsplit(".JPG ")
+            return p + ".JPG", int(label)
+        parts = line.rsplit()
+        return parts[0], int(parts[1])
+
+    rows = [parse(x) for x in lines if x.strip()]
+    if pl_list is not None:
+        rows += [parse(x) for x in pl_list if x.strip()]
+    return [Sample(os.path.join(dataset_root, p), label, 1)
+            for p, label in rows]

@@ -191,3 +191,36 @@ def test_worst_k_classes():
     assert list(out) == ["2", "1"]  # recall 0.0 then 0.5
     top = out["2"]["confused_with"][0]
     assert top[0] == 1 and top[1] == "b" and top[2] == 9
+
+
+def test_legacy_inat_reader(tmp_path):
+    from swat_tpu.data.legacy import read_legacy_split
+
+    with open(tmp_path / "l_train.txt", "w") as f:
+        f.write("trainval_images/a.jpg 3\ntrainval_images/b.jpg 7\n")
+    samples = read_legacy_split(str(tmp_path), "l_train")
+    assert len(samples) == 2 and samples[1].label == 7
+    assert samples[0].path.endswith("trainval_images/a.jpg")
+    # semi-fungi '.JPG ' separator quirk + pseudo-label merge
+    with open(tmp_path / "u_train.txt", "w") as f:
+        f.write("images/x y.JPG 2\n")
+    s2 = read_legacy_split(str(tmp_path), "u_train", task="semi_fungi",
+                           pl_list=["images/z.JPG 5"])
+    assert s2[0].path.endswith("images/x y.JPG") and s2[0].label == 2
+    assert s2[1].label == 5
+
+
+def test_topk_prompt_scoring(rng):
+    from swat_tpu.eval.topk_prompts import validate_topk
+
+    D = 8
+    # class 0 has 4 prompts near e0; class 1 has 2 prompts near e1
+    e = np.eye(2, D).astype(np.float32)
+    tensors = {
+        "0": {"all": e[0] + rng.normal(0, .01, (4, D)).astype(np.float32)},
+        "1": {"all": e[1] + rng.normal(0, .01, (2, D)).astype(np.float32)},
+    }
+    feats = np.stack([e[0], e[1], e[0]])
+    labels = np.array([0, 1, 0])
+    acc = validate_topk(feats, labels, tensors, k=3)
+    assert acc == 100.0
