@@ -49,6 +49,10 @@ def _load():
                               ctypes.c_long]
     lib.idx_free.restype = None
     lib.idx_free.argtypes = [ctypes.c_void_p]
+    lib.idx_save.restype = ctypes.c_long
+    lib.idx_save.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.idx_load.restype = ctypes.c_void_p
+    lib.idx_load.argtypes = [ctypes.c_char_p]
     _lib = lib
     return lib
 
@@ -58,21 +62,32 @@ class NativeCaptionIndex:
     Queries pass through stringmatch.clean_text for identical semantics."""
 
     def __init__(self, captions: Optional[Sequence[str]] = None,
-                 path: Optional[str] = None, max_results: int = 5_000_000):
+                 path: Optional[str] = None, max_results: int = 5_000_000,
+                 index_path: Optional[str] = None):
+        """Build from ``captions`` / corpus file ``path``, or reload a
+        serialized index via ``index_path`` (see .save())."""
         lib = _load()
         if lib is None:
             raise RuntimeError("libcaptionindex.so unavailable "
                                "(g++/make missing?)")
         self._lib = lib
         self.max_results = max_results
-        if path is not None:
+        if index_path is not None:
+            self._h = lib.idx_load(index_path.encode())
+        elif path is not None:
             self._h = lib.idx_build_file(path.encode())
         else:
             buf = "\n".join(c.replace("\n", " ") for c in captions)
             data = buf.encode("utf-8", errors="replace")
             self._h = lib.idx_build_buffer(data, len(data))
         if not self._h:
-            raise RuntimeError("index build failed")
+            raise RuntimeError("index build/load failed")
+
+    def save(self, path: str):
+        """Serialize to disk; reload with index_path= (build once over a
+        corpus-scale caption set, reload instantly)."""
+        if self._lib.idx_save(self._h, path.encode()) != 0:
+            raise IOError(f"index save failed: {path}")
 
     def __len__(self):
         return int(self._lib.idx_num_captions(self._h))

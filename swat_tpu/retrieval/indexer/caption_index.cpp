@@ -161,4 +161,73 @@ long idx_query(void* h, const char* query, int phrase, long* out, long cap) {
 
 void idx_free(void* h) { delete static_cast<Index*>(h); }
 
+// --- persistence: build once over a corpus, reload instantly -------------
+// binary format: magic | n_captions | n_tokens | per-caption token lists |
+// vocab strings (id order) | postings lists
+
+static constexpr uint64_t kMagic = 0x53574154494458ULL;  // "SWATIDX"
+
+long idx_save(void* h, const char* path) {
+  auto* idx = static_cast<Index*>(h);
+  std::ofstream out(path, std::ios::binary);
+  if (!out.good()) return -1;
+  auto put64 = [&](uint64_t v) { out.write(reinterpret_cast<char*>(&v), 8); };
+  put64(kMagic);
+  put64(idx->caption_tokens.size());
+  put64(idx->vocab.size());
+  for (const auto& toks : idx->caption_tokens) {
+    put64(toks.size());
+    out.write(reinterpret_cast<const char*>(toks.data()),
+              toks.size() * sizeof(int32_t));
+  }
+  std::vector<const std::string*> by_id(idx->vocab.size());
+  for (const auto& kv : idx->vocab) by_id[kv.second] = &kv.first;
+  for (const auto* s : by_id) {
+    put64(s->size());
+    out.write(s->data(), s->size());
+  }
+  for (const auto& plist : idx->postings) {
+    put64(plist.size());
+    out.write(reinterpret_cast<const char*>(plist.data()),
+              plist.size() * sizeof(int64_t));
+  }
+  return out.good() ? 0 : -1;
+}
+
+void* idx_load(const char* path) {
+  std::ifstream in(path, std::ios::binary);
+  if (!in.good()) return nullptr;
+  auto get64 = [&]() {
+    uint64_t v = 0;
+    in.read(reinterpret_cast<char*>(&v), 8);
+    return v;
+  };
+  if (get64() != kMagic) return nullptr;
+  auto* idx = new Index();
+  const uint64_t n_cap = get64();
+  const uint64_t n_tok = get64();
+  idx->caption_tokens.resize(n_cap);
+  for (auto& toks : idx->caption_tokens) {
+    toks.resize(get64());
+    in.read(reinterpret_cast<char*>(toks.data()),
+            toks.size() * sizeof(int32_t));
+  }
+  idx->postings.resize(n_tok);
+  for (uint64_t t = 0; t < n_tok; ++t) {
+    std::string s(get64(), '\0');
+    in.read(s.data(), s.size());
+    idx->vocab.emplace(std::move(s), static_cast<int32_t>(t));
+  }
+  for (auto& plist : idx->postings) {
+    plist.resize(get64());
+    in.read(reinterpret_cast<char*>(plist.data()),
+            plist.size() * sizeof(int64_t));
+  }
+  if (!in.good()) {
+    delete idx;
+    return nullptr;
+  }
+  return idx;
+}
+
 }  // extern "C"

@@ -207,3 +207,20 @@ def test_i2i_sampler(pool, rng):
                            fewshot_feats_by_class=fs)
     assert len(res["file_list"]) == 9
     assert res["file_list"][0].endswith("00019.jpg")
+
+
+def test_native_index_save_load(tmp_path):
+    from swat_tpu.retrieval.indexer import build_library, NativeCaptionIndex
+
+    if build_library(force=True) is None:
+        pytest.skip("g++ unavailable")
+    idx = NativeCaptionIndex(CAPTIONS)
+    path = str(tmp_path / "captions.idx")
+    idx.save(path)
+    idx2 = NativeCaptionIndex(index_path=path)
+    assert len(idx2) == len(CAPTIONS)
+    for q, phrase in [("semipalmated plover", False),
+                      ("honda accord 2012", True), ("plover", False)]:
+        np.testing.assert_array_equal(
+            np.sort(idx.query(q, phrase)), np.sort(idx2.query(q, phrase)),
+            err_msg=q)
