@@ -35,8 +35,16 @@ def cmd_stringmatch(args):
     from swat_tpu.retrieval.stringmatch import match_all_classes
 
     t0 = time.time()
-    index = make_index(path=args.captions,
-                       prefer_native=not args.no_native)
+    if args.index_path and os.path.exists(args.index_path):
+        from swat_tpu.retrieval.indexer import NativeCaptionIndex
+
+        index = NativeCaptionIndex(index_path=args.index_path)
+    else:
+        index = make_index(path=args.captions,
+                           prefer_native=not args.no_native)
+        if args.index_path and hasattr(index, "save"):
+            index.save(args.index_path)
+            print(f"Saved index to {args.index_path}")
     print(f"Index built over {len(index)} captions "
           f"in {time.time() - t0:.1f}s ({type(index).__name__})")
 
@@ -184,6 +192,8 @@ def main(argv=None):
     sm.add_argument("--prefix", default=None)
     sm.add_argument("--threads", type=int, default=16)
     sm.add_argument("--no_native", action="store_true")
+    sm.add_argument("--index_path", default=None,
+                    help="serialized index: reload if present, else save")
 
     cm = sub.add_parser("captionmap")
     cm.add_argument("--metadata", required=True)
