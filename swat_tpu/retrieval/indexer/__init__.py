@@ -86,6 +86,7 @@ class NativeCaptionIndex:
     def save(self, path: str):
         """Serialize to disk; reload with index_path= (build once over a
         corpus-scale caption set, reload instantly)."""
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         if self._lib.idx_save(self._h, path.encode()) != 0:
             raise IOError(f"index save failed: {path}")
 

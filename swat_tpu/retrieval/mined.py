@@ -64,7 +64,9 @@ def extract_mined_features(model, params, samples: List[Sample],
                            caption_map: Dict[str, Dict[str, str]],
                            tokenizer, mesh=None, batch_size: int = 256,
                            num_workers: int = 16,
-                           image_size: int = 224) -> Dict[str, np.ndarray]:
+                           image_size: int = 224,
+                           context_length: Optional[int] = None
+                           ) -> Dict[str, np.ndarray]:
     """Returns {'image_features', 'caption_features', 'labels',
     'file_paths'} — the reference's {ds}_{model}_mined.pth bundle
     (extract_mined_feature.py:252-280)."""
@@ -78,7 +80,9 @@ def extract_mined_features(model, params, samples: List[Sample],
     img = extract_image_features(model, params, loader, mesh)
 
     captions = [lookup_caption(caption_map, s.path) or "" for s in samples]
-    tokens = tokenizer(captions)
+    if context_length is None:
+        context_length = model.cfg.text.context_length
+    tokens = tokenizer(captions, context_length)
 
     @jax.jit
     def encode_text(tok):
