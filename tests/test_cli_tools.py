@@ -1,0 +1,68 @@
+"""CLI tools: data preparation and results aggregation."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def test_prepare_fewshot(tmp_path):
+    from swat_tpu.cli.prepare_data import random_sample_fewshot
+
+    root = tmp_path / "ds"
+    os.makedirs(root)
+    lines = [f"imgs/{c}_{i}.jpg {c} 1" for c in range(3) for i in range(10)]
+    lines += ["imgs/rare_0.jpg 3 1"]  # class with < shots samples
+    (root / "train.txt").write_text("\n".join(lines) + "\n")
+    path = random_sample_fewshot(str(root), "some-ds", shots=4, seed=1)
+    out = open(path).read().strip().splitlines()
+    # 3 classes x 4 + 1 undersized class keeps its single sample
+    assert len(out) == 13
+    labels = [int(l.split()[1]) for l in out]
+    assert labels == sorted(labels)
+    assert all(l.split()[2] == "1" for l in out)
+    # deterministic for a given seed
+    path2 = random_sample_fewshot(str(root), "some-ds", shots=4, seed=1)
+    assert open(path2).read() == "\n".join(out) + "\n"
+
+
+def test_prepare_labels_from_split_json(tmp_path):
+    from swat_tpu.cli.prepare_data import create_labels_from_split_json
+
+    root = tmp_path / "ds"
+    os.makedirs(root)
+    splits = {
+        "train": [["a/x.jpg", 1, "cat"], ["b/y.jpg", 0, "dog"]],
+        "test": [["c/z.jpg", 0, "dog"]],
+    }
+    (root / "split.json").write_text(json.dumps(splits))
+    create_labels_from_split_json(str(root), "split.json", prefix="images/")
+    train = open(root / "train.txt").read().splitlines()
+    assert train == ["images/b/y.jpg 0 1", "images/a/x.jpg 1 1"]
+    assert open(root / "test.txt").read().splitlines() == [
+        "images/c/z.jpg 0 1"]
+
+
+def test_results_aggregation(tmp_path):
+    from swat_tpu.analysis.results import (
+        aggregate,
+        compare_to_paper,
+        read_results_csv,
+    )
+
+    csv = tmp_path / "semi-aves.csv"
+    csv.write_text(
+        "Dataset,Method,DataSource,Init,Shots,Seed,Retrieve,Stage1Acc,"
+        "WSFTAcc,Stage2LPAcc,Stage2FSFTAcc\n"
+        "semi-aves,cutmix,fewshot+retrieved,REAL-Prompt,4,1,T2T500,57.0,"
+        "58.0,58.2,59.0\n"
+        "semi-aves,cutmix,fewshot+retrieved,REAL-Prompt,4,2,T2T500,57.5,"
+        "58.4,58.6,59.5\n")
+    rows = read_results_csv(str(csv))
+    agg = aggregate(rows, "Stage2LPAcc")
+    mean, std, n = agg[("semi-aves", 4)]
+    assert n == 2 and mean == pytest.approx(58.4)
+    lines = compare_to_paper(agg)
+    # paper value for semi-aves 4-shot is 58.5 -> delta -0.1, within bar
+    assert any("yes" in line for line in lines)
