@@ -34,6 +34,9 @@ def main(argv=None):
     p.add_argument("--bsz", type=int, default=256)
     p.add_argument("--num_workers", type=int, default=16)
     p.add_argument("--test_imagenet_ood", action="store_true")
+    p.add_argument("--predict_labels", default=None,
+                   help="write '<pred> <max_logit>' lines here (pseudo-"
+                        "labels for the utrain flow, testing.py:466-480)")
     p.add_argument("--folder", default="output/eval")
     args = p.parse_args(argv)
 
@@ -65,10 +68,21 @@ def main(argv=None):
             head = alt.get("w", arrays["head"])
         pipe.logger.info(f"Loaded {args.model_path}: meta={meta}")
 
-    acc, loss, cm = pipe._validate_images(
-        params, _cls_head(head), logit_scale,
-        ([args.split], [cfg.dataset_dir]), return_confusion=True,
-        bsz=args.bsz)
+    split = ([args.split], [cfg.dataset_dir])
+    if args.predict_labels:
+        from swat_tpu.data.pipeline import EvalLoader
+
+        loader = EvalLoader(pipe._samples(split), batch_size=args.bsz,
+                            n_px=pipe.model_cfg.vision.image_size,
+                            num_workers=args.num_workers)
+        acc, loss, cm = pipe.evaluator.validate(
+            params, _cls_head(head), logit_scale, loader,
+            return_confusion=True,
+            predict_labels_path=args.predict_labels)
+    else:
+        acc, loss, cm = pipe._validate_images(
+            params, _cls_head(head), logit_scale, split,
+            return_confusion=True, bsz=args.bsz)
     from swat_tpu.eval.metrics import calculate_scores
 
     scores = calculate_scores(cm)
