@@ -26,6 +26,31 @@ def test_dryrun_multichip_entrypoint():
     g.dryrun_multichip(8)
 
 
+def test_dryrun_multichip_hermetic():
+    """The driver gate must never touch a non-CPU backend. Run the dryrun
+    in a subprocess whose default platform is poisoned: any code path that
+    initializes the default backend (instead of pinning cpu) errors loudly
+    without reaching real hardware."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "nonexistent_poison_platform"
+    env.pop("JAX_PLATFORM_NAME", None)
+    env.pop("XLA_FLAGS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8); "
+         "from jax._src import xla_bridge; "
+         "bs = list(getattr(xla_bridge, '_backends', {})); "
+         "assert bs == ['cpu'], bs; print('HERMETIC', bs)"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "HERMETIC ['cpu']" in proc.stdout, proc.stdout
+
+
 def test_dp_sharded_step_matches_single_device(rng):
     """Batch sharded over 8 devices == unsharded: GSPMD's psum gradient
     reduction must be numerically equivalent (fp32)."""
