@@ -132,6 +132,97 @@ def bench_embed_and_topk():
         }))
 
 
+def bench_index_scale(total: int = 10_000_000, shards: int = 8,
+                      work_dir: str = "/tmp/swat_index_scale"):
+    """Corpus-scale evidence for the 400M-caption story: build `total`
+    synthetic captions as `shards` disk-backed index shards, then query
+    through ShardedCaptionIndex with per-shard eviction so peak RSS stays
+    bounded by ONE shard (the reference holds a 135 GB SQLite db on disk
+    and queries 32 FTS tables, laion_parser.py:21-24,157-167 — LAION-400M
+    at this sharding is 40 shards of 10M)."""
+    import resource
+    import shutil
+
+    import numpy as np
+
+    from swat_tpu.retrieval.ingest import ShardedCaptionIndex
+    from swat_tpu.retrieval.indexer import NativeCaptionIndex, build_library
+
+    if not build_library():
+        print(json.dumps({"metric": "caption_index_scale",
+                          "error": "native index unavailable"}))
+        return
+    shutil.rmtree(work_dir, ignore_errors=True)
+    os.makedirs(work_dir)
+    rng = np.random.default_rng(0)
+    vocab = np.asarray([f"word{i}" for i in range(50_000)])
+    per = total // shards
+
+    def rss_gb():
+        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+    counts, offsets = [], [0]
+    gen_s = build_s = 0.0
+    disk = 0
+    for s in range(shards):
+        t0 = time.perf_counter()
+        lens = rng.integers(4, 14, per)
+        words = vocab[rng.integers(0, len(vocab), int(lens.sum()))]
+        caps, pos = [], 0
+        for L in lens:
+            caps.append(" ".join(words[pos: pos + L]))
+            pos += L
+        cap_file = os.path.join(work_dir, f"captions_{s:05d}.txt")
+        with open(cap_file, "w") as f:
+            f.write("\n".join(caps) + "\n")
+        gen_s += time.perf_counter() - t0
+        del caps, words
+
+        t0 = time.perf_counter()
+        idx = NativeCaptionIndex(path=cap_file)
+        idx.save(os.path.join(work_dir, f"index_{s:05d}.bin"))
+        build_s += time.perf_counter() - t0
+        disk += os.path.getsize(os.path.join(work_dir, f"index_{s:05d}.bin"))
+        counts.append(per)
+        offsets.append(offsets[-1] + per)
+        del idx
+
+    with open(os.path.join(work_dir, "manifest.json"), "w") as f:
+        json.dump({"num_shards": shards, "counts": counts,
+                   "offsets": offsets, "sources": []}, f)
+
+    sidx = ShardedCaptionIndex(work_dir)
+    queries = [f"word{rng.integers(0, 50_000)} word{rng.integers(0, 50_000)}"
+               for _ in range(40)]
+    t0 = time.perf_counter()
+    _ = len(sidx.query(queries[0]))  # cold: loads all shards from disk
+    cold_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    hits = 0
+    for q in queries[1:]:
+        hits += len(sidx.query(q))
+    query_s = (time.perf_counter() - t0) / (len(queries) - 1)
+    sidx.evict()  # per-class batching pattern: query all, then evict
+
+    print(json.dumps({
+        "metric": "caption_index_scale",
+        "captions": total, "shards": shards,
+        "build_captions_per_sec": round(total / build_s),
+        "build_s": round(build_s, 1),
+        "gen_s": round(gen_s, 1),
+        "index_disk_gb": round(disk / 1e9, 2),
+        "peak_rss_gb": round(rss_gb(), 2),
+        "cold_load_s": round(cold_s, 2),
+        "warm_query_per_sec": round(1.0 / max(query_s, 1e-9), 1),
+        "hits": hits,
+        "extrapolated_400m_disk_gb": round(disk / 1e9 * 400e6 / total, 1),
+    }))
+    shutil.rmtree(work_dir, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    bench_index()
-    bench_embed_and_topk()
+    if "--scale" in sys.argv:
+        bench_index_scale()
+    else:
+        bench_index()
+        bench_embed_and_topk()

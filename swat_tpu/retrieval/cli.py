@@ -30,12 +30,103 @@ import os
 import time
 
 
+def cmd_ingest(args):
+    """LAION parquet/jsonl shards -> caption-index shards + metadata store
+    (replaces reference create_table/create_fts_table,
+    laion_parser.py:48-79)."""
+    from swat_tpu.retrieval.ingest import ingest_shards
+
+    t0 = time.time()
+    manifest = ingest_shards(
+        args.inputs, args.output_dir, text_col=args.text_col,
+        url_col=args.url_col, nsfw_col=args.nsfw_col,
+        build_index=not args.no_index,
+        prefer_native=not args.no_native)
+    n = manifest["offsets"][-1]
+    print(f"Ingested {n} captions into {manifest['num_shards']} shards "
+          f"under {args.output_dir} in {time.time() - t0:.1f}s")
+
+
+def cmd_make_urls(args):
+    """stringmatch output + metadata store -> downloadable URL parquet
+    (replaces reference create_parquet, laion_downloader.py:132-176)."""
+    from swat_tpu.retrieval.downloader import build_url_rows, write_url_parquet
+    from swat_tpu.retrieval.ingest import MetaStore
+
+    with open(args.matches) as f:
+        retrieved = json.load(f)
+    meta = MetaStore(args.store_dir)
+    rows, metadata = build_url_rows(
+        retrieved, meta, sampling=args.sampling,
+        max_images=args.max_images, seed=args.seed,
+        skip_nsfw=not args.keep_nsfw)
+    write_url_parquet(args.output, rows)
+    meta_path = args.output.rsplit(".", 1)[0] + ".meta.json"
+    with open(meta_path, "w") as f:
+        json.dump(metadata, f)
+    print(f"Wrote {len(rows)} URL rows ({len(metadata)} classes) to "
+          f"{args.output}; download metadata to {meta_path}")
+
+
+def cmd_filter_synonyms(args):
+    """Zero-shot text filter of mined synonyms (replaces reference
+    query_synonyms/clip_text_filtering.py)."""
+    import jax
+
+    from swat_tpu.models.clip import CLIPModel
+    from swat_tpu.models.configs import get_model_config
+    from swat_tpu.models.loader import load_torch_checkpoint
+    from swat_tpu.models.tokenizer import get_tokenizer
+    from swat_tpu.retrieval.synonyms import filter_synonyms
+
+    cfg = get_model_config(args.model_cfg)
+    model = CLIPModel(cfg)
+    if args.checkpoint_path:
+        params, _ = load_torch_checkpoint(
+            args.checkpoint_path, cfg.vision.layers, cfg.text.layers)
+    else:
+        import jax.numpy as jnp
+
+        params = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3)),
+            jnp.zeros((1, cfg.text.context_length), jnp.int32))["params"]
+        print("WARNING: random weights (no --checkpoint_path)")
+    params = jax.device_put(params)
+
+    @jax.jit
+    def encode(tokens):
+        from swat_tpu.models import functional as F
+
+        return F.encode_text(model, params, tokens, normalize=True,
+                             mode="infer")
+
+    with open(args.synonyms) as f:
+        names = json.load(f)
+    tok = get_tokenizer(args.bpe_path)
+    t0 = time.time()
+    names = filter_synonyms(encode, tok, names,
+                            context_length=cfg.text.context_length,
+                            log=print)
+    kept = sum(len(v["synonyms_filtered"]) for v in names.values())
+    total = sum(len(v["synonyms"]) for v in names.values())
+    print(f"Kept {kept}/{total} synonyms in {time.time() - t0:.1f}s")
+    with open(args.output, "w") as f:
+        f.write(json.dumps(names, indent=4))
+    print(f"Wrote {args.output}")
+
+
 def cmd_stringmatch(args):
     from swat_tpu.retrieval.indexer import make_index
     from swat_tpu.retrieval.stringmatch import match_all_classes
 
     t0 = time.time()
-    if args.index_path and os.path.exists(args.index_path):
+    if args.index_dir:
+        from swat_tpu.retrieval.ingest import ShardedCaptionIndex
+
+        index = ShardedCaptionIndex(args.index_dir,
+                                    prefer_native=not args.no_native)
+    elif args.index_path and os.path.exists(args.index_path):
         from swat_tpu.retrieval.indexer import NativeCaptionIndex
 
         index = NativeCaptionIndex(index_path=args.index_path)
@@ -183,9 +274,43 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="swat-tpu retrieval pipeline")
     sub = p.add_subparsers(dest="cmd", required=True)
 
+    fs = sub.add_parser("filter-synonyms")
+    fs.add_argument("--synonyms", required=True,
+                    help="{class: {'query_name', 'synonyms': {...}}} json")
+    fs.add_argument("--output", required=True)
+    fs.add_argument("--model_cfg", default="vitb32_openclip_laion400m")
+    fs.add_argument("--checkpoint_path", default=None)
+    fs.add_argument("--bpe_path", default=None)
+
+    ing = sub.add_parser("ingest")
+    ing.add_argument("inputs", nargs="+",
+                     help="parquet/jsonl metadata shards (globs ok)")
+    ing.add_argument("--output_dir", required=True)
+    ing.add_argument("--text_col", default="TEXT")
+    ing.add_argument("--url_col", default="URL")
+    ing.add_argument("--nsfw_col", default="NSFW")
+    ing.add_argument("--no_index", action="store_true",
+                     help="skip building native index shards")
+    ing.add_argument("--no_native", action="store_true")
+
+    mu = sub.add_parser("make-urls")
+    mu.add_argument("--matches", required=True,
+                    help="stringmatch *_mined_captions.json")
+    mu.add_argument("--store_dir", required=True,
+                    help="ingest output dir (metadata store)")
+    mu.add_argument("--output", required=True, help="URL parquet path")
+    mu.add_argument("--sampling", default="all",
+                    choices=["all", "random", "few"])
+    mu.add_argument("--max_images", type=int, default=2000)
+    mu.add_argument("--seed", type=int, default=0)
+    mu.add_argument("--keep_nsfw", action="store_true")
+
     sm = sub.add_parser("stringmatch")
-    sm.add_argument("--captions", required=True,
+    sm.add_argument("--captions", default=None,
                     help="newline-separated caption corpus file")
+    sm.add_argument("--index_dir", default=None,
+                    help="sharded index dir from `ingest` (overrides "
+                         "--captions/--index_path)")
     sm.add_argument("--metrics", required=True)
     sm.add_argument("--output_dir", required=True)
     sm.add_argument("--tag", default="laion")
@@ -227,8 +352,13 @@ def main(argv=None):
     sp.add_argument("--output", required=True)
 
     args = p.parse_args(argv)
+    if args.cmd == "stringmatch" and not (args.captions or args.index_dir
+                                          or args.index_path):
+        p.error("stringmatch needs --captions, --index_dir or --index_path")
     {"stringmatch": cmd_stringmatch, "captionmap": cmd_captionmap,
-     "extract": cmd_extract, "sample": cmd_sample}[args.cmd](args)
+     "extract": cmd_extract, "sample": cmd_sample, "ingest": cmd_ingest,
+     "make-urls": cmd_make_urls,
+     "filter-synonyms": cmd_filter_synonyms}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -19,17 +19,52 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 def select_samples(matches: Sequence[Tuple[str, int]], sampling: str,
                    max_images: Optional[int], seed: int = 0) -> List[int]:
-    """caption ids to download for one class ('all' | 'random',
-    reference create_parquet, laion_downloader.py:132-176)."""
+    """caption ids to download for one class ('all' | 'random' | 'few',
+    reference create_parquet, laion_downloader.py:143-159)."""
     import numpy as np
 
     ids = [cid for _, cid in matches]
+    if sampling == "few":  # first 5 (reference :152-153)
+        return ids[:5]
     if sampling == "all" or max_images is None or len(ids) <= max_images:
         return ids
     if sampling == "random":
         rng = np.random.default_rng(seed)
         return list(rng.choice(ids, size=max_images, replace=False))
     raise NotImplementedError(f"sampling {sampling}")
+
+
+def build_url_rows(retrieved: Dict[str, Sequence[Tuple[str, int]]],
+                   meta_store, *, sampling: str = "all",
+                   max_images: Optional[int] = 2000, seed: int = 0,
+                   skip_nsfw: bool = True
+                   ) -> Tuple[List[dict], Dict[str, list]]:
+    """Join per-class caption matches with the metadata store to produce
+    downloadable URL rows (reference create_parquet + process_sample,
+    laion_downloader.py:132-195: per-sample URL lookup via find_by_id,
+    NSFW-flagged rows skipped as in the legacy worker, :51-54).
+
+    retrieved: {class_id: [(synonym, caption_id)]} — the stringmatch
+    output.  Returns (rows for write_url_parquet, download metadata
+    {class: [(shard, rowid, caption, url)]} — the .meta equivalent)."""
+    rows: List[dict] = []
+    metadata: Dict[str, list] = {}
+    for cls in sorted(retrieved, key=lambda k: int(k) if str(k).isdigit()
+                      else str(k)):
+        ids = select_samples(retrieved[cls], sampling, max_images,
+                             seed=seed)
+        metadata[str(cls)] = []
+        for cid in ids:
+            m = meta_store.lookup(int(cid))
+            if skip_nsfw and m["nsfw"] == "NSFW":
+                continue
+            if not m["url"]:
+                continue
+            rows.append({"class_id": str(cls), "caption": m["caption"],
+                         "url": m["url"], "caption_id": int(cid)})
+            metadata[str(cls)].append(
+                (m["shard"], m["rowid"], m["caption"], m["url"]))
+    return rows, metadata
 
 
 def write_url_parquet(path: str, rows: Sequence[dict]):
@@ -50,17 +85,20 @@ def write_url_parquet(path: str, rows: Sequence[dict]):
 
 def download_with_img2dataset(parquet_path: str, output_dir: str,
                               processes: int = 16, threads: int = 16,
-                              image_size: int = 512):
-    """Bulk download (reference laion_downloader.py:108-130). Requires the
-    img2dataset package + network; raises ImportError otherwise."""
+                              min_image_size: int = 85):
+    """Bulk download (reference img2dataset_download,
+    laion_downloader.py:108-130: resize_mode 'no', encode_quality 100,
+    min_image_size 85).  Requires the img2dataset package + network;
+    raises ImportError otherwise."""
     import img2dataset
 
     img2dataset.download(
         url_list=parquet_path, input_format="parquet",
         url_col="url", caption_col="caption", output_folder=output_dir,
         output_format="files", processes_count=processes,
-        thread_count=threads, image_size=image_size,
-        resize_mode="keep_ratio")
+        thread_count=threads, resize_mode="no", encode_quality=100,
+        min_image_size=min_image_size,
+        number_sample_per_shard=2_000_000)
 
 
 def restructure_download(flat_dir: str, out_dir: str,
