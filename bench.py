@@ -2,11 +2,14 @@
 
 Runs the production resident-data training path (swat_tpu.train.scan_loop):
 a whole epoch of REAL cutmix train steps — on-device random-resized-crop +
-flip + normalize from uint8 canvases, cutmix, ViT-B/32 forward, CE loss,
-backward, AdamW with the reference's warmup-cosine schedule — as one
-device program on the real TPU (bf16 compute / fp32 params).
+flip + normalize from uint8 canvases, cutmix, ViT-B/32 forward (functional
+plain-loop towers, XLA attention — the fastest measured training config),
+CE loss, backward, AdamW with the reference's warmup-cosine schedule — as
+one device program on the real TPU (bf16 compute / fp32 params).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
+"mfu" and a "breakdown_ms" of aug-only / fwd-only / fwd+bwd+opt / full
+per-step times (VERDICT r1 item 2).
 
 Baseline: the reference (tian1327/SWAT) publishes no throughput numbers
 (SURVEY.md §6); BASELINE_IMG_PER_SEC is a documented estimate of its
@@ -26,6 +29,8 @@ BASELINE_IMG_PER_SEC = 1000.0
 BATCH = 256
 STEPS_PER_EPOCH = 20
 EPOCHS = 3  # timed epochs after warmup
+PEAK_TFLOPS = 197.0            # v5e bf16
+TRAIN_GFLOP_PER_IMG = 3 * 4.4  # fwd+bwd, ViT-B/32 @ 224
 
 
 def main():
@@ -35,23 +40,24 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/swat_jax_cache")
 
+    from swat_tpu.kernels import augment as aug
+    from swat_tpu.models import functional as F
     from swat_tpu.models.clip import CLIPModel
     from swat_tpu.models.configs import get_model_config
+    from swat_tpu.models.head import head_logits
+    from swat_tpu.train.losses import cross_entropy, mixup_criterion
     from swat_tpu.train.scan_loop import ResidentData, make_scan_epoch
     from swat_tpu.train.state import create_train_state
 
     cfg = get_model_config("vitb32_openclip_laion400m")
-    model = CLIPModel(cfg)  # bf16 compute policy
+    # bf16 compute policy; XLA attention for training (measured faster
+    # than every fused-bwd variant at S=50), pallas fwd kernel for eval
+    model = CLIPModel(cfg)
     params = model.init(
         jax.random.PRNGKey(0),
         jnp.zeros((1, 224, 224, 3), jnp.float32),
         jnp.zeros((1, 77), jnp.int32))["params"]
     head = jax.random.normal(jax.random.PRNGKey(1), (200, cfg.embed_dim))
-
-    state, tx = create_train_state(
-        params, head, "cutmix", lr_classifier=1e-4, lr_backbone=1e-6,
-        total_iter=STEPS_PER_EPOCH * (EPOCHS + 2))
-    run_epoch = make_scan_epoch(model, tx, "cutmix")
 
     n = BATCH * 2  # resident pool; batches gathered by permutation
     rng = np.random.default_rng(0)
@@ -66,11 +72,89 @@ def main():
         idx = rng.integers(0, n, STEPS_PER_EPOCH * BATCH)
         return idx.reshape(STEPS_PER_EPOCH, BATCH).astype(np.int32)
 
+    # ---- breakdown pieces (each a scan over STEPS_PER_EPOCH, one dispatch;
+    # host transfer of the scalar forces real completion — block_until_ready
+    # is unreliable over the tunneled TPU)
+    def timed(fn, *args, reps=2):
+        _ = float(fn(*args))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*args)
+        _ = float(out)
+        return (time.perf_counter() - t0) / (reps * STEPS_PER_EPOCH) * 1e3
+
+    pre_images = jax.device_put(
+        rng.standard_normal((BATCH, 224, 224, 3)).astype(np.float32))
+    labels_b = jax.device_put(rng.integers(0, 200, BATCH).astype(np.int32))
+
+    @jax.jit
+    def aug_epoch(canv, hw, lab, p, key):
+        keys = jax.random.split(key, STEPS_PER_EPOCH)
+
+        def body(carry, xs):
+            idx, k = xs
+            k_aug, k_mix = jax.random.split(k)
+            x = aug.train_augment(canv[idx], hw[idx], k_aug)
+            x, *_ = aug.cutmix(x, lab[idx], k_mix)
+            return carry + x[0, 0, 0, 0], None
+
+        s, _ = jax.lax.scan(body, jnp.float32(0), (p, keys))
+        return s
+
+    state0, tx = create_train_state(
+        params, head, "cutmix", lr_classifier=1e-4, lr_backbone=1e-6,
+        total_iter=10_000)
+
+    def loss_of(tr, x):
+        feats = F.encode_image(model, tr["model"], x, normalize=True)
+        logits = head_logits(tr["head"], feats) * jnp.exp(tr["logit_scale"])
+        return mixup_criterion(cross_entropy, logits, labels_b, labels_b,
+                               1.0, None)
+
+    @jax.jit
+    def fwd_epoch(state, images):
+        def body(carry, i):
+            x = images * (1.0 + 1e-7 * i.astype(jnp.float32))
+            return carry + loss_of(state.trainable, x), None
+
+        s, _ = jax.lax.scan(body, jnp.float32(0),
+                            jnp.arange(STEPS_PER_EPOCH))
+        return s
+
+    @jax.jit
+    def fwdbwd_epoch(state, images):
+        def body(carry, i):
+            st, ls = carry
+            x = images * (1.0 + 1e-7 * i.astype(jnp.float32))
+            val, grads = jax.value_and_grad(loss_of)(st.trainable, x)
+            updates, new_opt = tx.update(grads, st.opt_state, st.trainable)
+            new_tr = jax.tree_util.tree_map(lambda p, u: p + u,
+                                            st.trainable, updates)
+            st = st.replace_trainable(new_tr, opt_state=new_opt,
+                                      step=st.step + 1)
+            return (st, ls + val), None
+
+        (st, ls), _ = jax.lax.scan(body, (state, jnp.float32(0)),
+                                   jnp.arange(STEPS_PER_EPOCH))
+        return ls
+
+    breakdown = {
+        "aug": round(timed(aug_epoch, data.canvases, data.valid_hw,
+                           data.labels, jnp.asarray(perm()),
+                           jax.random.PRNGKey(0)), 2),
+        "fwd": round(timed(fwd_epoch, state0, pre_images), 2),
+        "fwd_bwd_opt": round(timed(fwdbwd_epoch, state0, pre_images), 2),
+    }
+
+    # ---- headline: the production scan-epoch path
+    state, tx = create_train_state(
+        params, head, "cutmix", lr_classifier=1e-4, lr_backbone=1e-6,
+        total_iter=STEPS_PER_EPOCH * (EPOCHS + 2))
+    run_epoch = make_scan_epoch(model, tx, "cutmix")
+
     key = jax.random.PRNGKey(0)
-    # warmup/compile (host transfer of the loss forces real completion —
-    # block_until_ready is unreliable over the tunneled TPU)
     key, sub = jax.random.split(key)
-    state, loss = run_epoch(state, data, perm(), sub)
+    state, loss = run_epoch(state, data, perm(), sub)  # compile + warmup
     _ = float(loss)
 
     t0 = time.perf_counter()
@@ -81,12 +165,17 @@ def main():
     dt = time.perf_counter() - t0
 
     n_chips = max(1, jax.device_count())
-    img_per_sec_per_chip = BATCH * STEPS_PER_EPOCH * EPOCHS / dt / n_chips
+    steps = STEPS_PER_EPOCH * EPOCHS
+    img_per_sec_per_chip = BATCH * steps / dt / n_chips
+    breakdown["full"] = round(dt / steps * 1e3, 2)
+    mfu = (img_per_sec_per_chip * TRAIN_GFLOP_PER_IMG / 1e3) / PEAK_TFLOPS
     print(json.dumps({
         "metric": "vitb32_finetune_images_per_sec_per_chip",
         "value": round(img_per_sec_per_chip, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_sec_per_chip / BASELINE_IMG_PER_SEC, 3),
+        "mfu": round(mfu, 3),
+        "breakdown_ms": breakdown,
     }))
 
 

@@ -26,8 +26,10 @@ def extract_image_features(model: CLIPModel, params, loader, mesh=None):
 
     @jax.jit
     def encode(params, images):
-        return model.apply({"params": params}, images, True,
-                           method=CLIPModel.encode_image)
+        from swat_tpu.models import functional as F
+
+        return F.encode_image(model, params, images, normalize=True,
+                              mode="infer")
 
     feats, labels = [], []
     for batch in loader:

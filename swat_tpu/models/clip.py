@@ -148,17 +148,25 @@ class Transformer(nn.Module):
     precision: Precision = DEFAULT_PRECISION
     remat: bool = False
     use_pallas: bool = False
+    # lax.scan unroll factor for the layer loop. Parameters stay stacked
+    # (checkpoint layout is unchanged) but the loop body is replicated,
+    # which removes the per-layer dynamic-update-slice residual stacking
+    # that dominates the scanned backward pass on TPU (profiled: the
+    # scan=1 bwd spends more time in DUS/copy ops than in matmuls).
+    unroll: int = 1
 
     @nn.compact
     def __call__(self, x):
         block_cls = Block
         if self.remat:
             block_cls = nn.remat(Block, prevent_cse=False)
+        unroll = self.unroll if self.unroll > 0 else self.layers
         scan = nn.scan(
             block_cls,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=self.layers,
+            unroll=min(unroll, self.layers),
             metadata_params={nn.meta.PARTITION_NAME: "layers"},
         )
         x, _ = scan(self.width, self.heads, causal=self.causal,
@@ -172,6 +180,7 @@ class VisionTower(nn.Module):
     precision: Precision = DEFAULT_PRECISION
     remat: bool = False
     use_pallas: bool = False
+    unroll: int = 1
 
     @nn.compact
     def __call__(self, images, pool: bool = True):
@@ -212,7 +221,7 @@ class VisionTower(nn.Module):
         x = Transformer(cfg.width, cfg.layers, cfg.heads, causal=False,
                         quick_gelu=cfg.quick_gelu, precision=self.precision,
                         remat=self.remat, use_pallas=self.use_pallas,
-                        name="transformer")(x)
+                        unroll=self.unroll, name="transformer")(x)
         x = _LayerNorm(self.precision.compute_dtype,
                        self.precision.ln_fast_variance, name="ln_post")(
             x if not pool else x[:, 0])
@@ -231,6 +240,7 @@ class TextTower(nn.Module):
     precision: Precision = DEFAULT_PRECISION
     remat: bool = False
     use_pallas: bool = False
+    unroll: int = 1
 
     @nn.compact
     def __call__(self, token_ids):
@@ -248,7 +258,7 @@ class TextTower(nn.Module):
         x = Transformer(cfg.width, cfg.layers, cfg.heads, causal=True,
                         quick_gelu=cfg.quick_gelu, precision=self.precision,
                         remat=self.remat, use_pallas=self.use_pallas,
-                        name="transformer")(x)
+                        unroll=self.unroll, name="transformer")(x)
         x = _LayerNorm(self.precision.compute_dtype,
                        self.precision.ln_fast_variance, name="ln_final")(x)
 
@@ -276,6 +286,7 @@ class CLIPModel(nn.Module):
     precision: Precision = DEFAULT_PRECISION
     remat: bool = False
     use_pallas: bool = False
+    unroll: int = 0   # 0 = fully unroll the layer loop (fastest bwd)
 
     def setup(self):
         from swat_tpu.models.resnet import ModifiedResNet, ResNetConfig
@@ -284,9 +295,10 @@ class CLIPModel(nn.Module):
             self.visual = ModifiedResNet(self.cfg.vision, self.precision)
         else:
             self.visual = VisionTower(self.cfg.vision, self.precision,
-                                      self.remat, self.use_pallas)
+                                      self.remat, self.use_pallas,
+                                      self.unroll)
         self.text = TextTower(self.cfg.text, self.precision,
-                              self.remat, self.use_pallas)
+                              self.remat, self.use_pallas, self.unroll)
 
     def encode_image(self, images, normalize: bool = False):
         feats = self.visual(images)

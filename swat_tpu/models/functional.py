@@ -1,0 +1,214 @@
+"""Pure-functional CLIP forward over the Flax param pytree.
+
+Why this exists: the Flax towers run their layer loop under ``nn.scan``
+(fast compiles, stacked params).  But ``lax.scan``'s VJP *structurally*
+stacks every per-layer residual into [L, ...] buffers via
+dynamic-update-slice — profiled on v5e, those DUS ops + the copies they
+force cost ~35% of the cutmix train step, more than the matmuls.  This
+module re-implements the exact same math as `swat_tpu.models.clip` as a
+plain Python loop over layer slices of the SAME param tree: residuals stay
+ordinary SSA values, XLA fuses across layer boundaries, and the backward
+pass keeps activations in registers/VMEM instead of round-tripping HBM.
+
+Used by the training/eval hot paths for ViT towers (ResNet towers fall
+back to ``model.apply``).  Equivalence with the Flax forward is enforced
+by tests (tests/test_functional.py) — any change here must keep them
+green, since checkpoints and TP partition specs are defined against the
+Flax tree.
+
+Reference map: the towers the reference imports from OpenCLIP
+(utils/extras.py:138-171); the hot call is ``model.encode_image`` inside
+``train_cutmix`` (utils/training.py:1474).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from swat_tpu.core.precision import Precision
+from swat_tpu.kernels.attention import attention_heads_last
+from swat_tpu.models.configs import TextConfig, VisionConfig
+
+
+def _layer_norm(p, x, precision: Precision, eps: float = 1e-5):
+    """flax nn.LayerNorm in fp32 (matches clip._LayerNorm bit-for-bit):
+    fast variance E[x^2]-E[x]^2 (clamped) or exact two-pass."""
+    x = x.astype(jnp.float32)
+    mu = x.mean(axis=-1, keepdims=True)
+    if precision.ln_fast_variance:
+        mu2 = (x * x).mean(axis=-1, keepdims=True)
+        var = jnp.maximum(0.0, mu2 - mu * mu)
+    else:
+        d = x - mu
+        var = (d * d).mean(axis=-1, keepdims=True)
+    mul = jax.lax.rsqrt(var + eps) * p["scale"].astype(jnp.float32)
+    y = (x - mu) * mul + p["bias"].astype(jnp.float32)
+    return y.astype(precision.compute_dtype)
+
+
+def _dense(p, x, precision: Precision):
+    c = precision.compute_dtype
+    y = jnp.dot(x.astype(c), p["kernel"].astype(c),
+                precision=precision.matmul_precision)
+    return y + p["bias"].astype(c)
+
+
+def _quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def _block(p, x, heads: int, quick_gelu: bool, causal: bool,
+           precision: Precision, use_pallas: bool = False):
+    """One pre-LN transformer block (clip.Block), params = layer slice."""
+    b, s, d = x.shape
+    head_dim = d // heads
+
+    h = _layer_norm(p["ln_1"]["ln"], x, precision)
+    qkv = _dense(p["attn"]["qkv"], h, precision)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    if use_pallas:
+        # fused packed-head kernel: consumes the qkv slices as-is
+        # ([B, S, H*D]), zero relayouts (kernels/flash_attention.mha_packed)
+        from swat_tpu.kernels.flash_attention import mha_packed
+
+        attn = mha_packed(q, k, v, heads=heads, causal=causal,
+                          interpret=jax.default_backend() != "tpu",
+                          bwd="fused")
+    else:
+        def heads_last(t):
+            return t.reshape(b, s, heads, head_dim)
+
+        attn = attention_heads_last(
+            heads_last(q), heads_last(k), heads_last(v), causal=causal,
+            accum_dtype=precision.accum_dtype,
+            matmul_precision=precision.matmul_precision).reshape(b, s, d)
+    x = x + _dense(p["attn"]["out"], attn, precision)
+
+    h = _layer_norm(p["ln_2"]["ln"], x, precision)
+    h = _dense(p["mlp"]["fc"], h, precision)
+    h = _quick_gelu(h) if quick_gelu else jax.nn.gelu(h, approximate=False)
+    x = x + _dense(p["mlp"]["proj"], h, precision)
+    return x
+
+
+def _transformer(p, x, heads: int, layers: int, quick_gelu: bool,
+                 causal: bool, precision: Precision, remat: bool = False,
+                 use_pallas: bool = False):
+    blocks = p["blocks"]
+    body = _block
+    if remat:
+        body = jax.checkpoint(_block, static_argnums=(2, 3, 4, 5, 6))
+    for i in range(layers):
+        layer = jax.tree_util.tree_map(lambda a: a[i], blocks)
+        x = body(layer, x, heads, quick_gelu, causal, precision, use_pallas)
+    return x
+
+
+def vit_encode_image(p, images, cfg: VisionConfig, precision: Precision,
+                     pool: bool = True, normalize: bool = False,
+                     remat: bool = False, use_pallas: bool = False):
+    """Same math as clip.VisionTower.__call__ on params['visual']."""
+    patch = cfg.patch_size
+    b, h, w, c = images.shape
+    gh, gw = h // patch, w // patch
+    cd = precision.compute_dtype
+    x = images.astype(cd)
+    x = x.reshape(b, gh, patch, gw, patch, c).transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(b, gh * gw, patch * patch * c)
+    x = jnp.dot(x, p["patch_embed"]["kernel"].astype(cd),
+                precision=precision.matmul_precision)
+
+    cls = jnp.broadcast_to(p["class_embedding"].astype(cd),
+                           (b, 1, cfg.width))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + p["positional_embedding"].astype(cd)
+
+    x = _layer_norm(p["ln_pre"]["ln"], x, precision)
+    x = _transformer(p["transformer"], x, cfg.heads, cfg.layers,
+                     cfg.quick_gelu, causal=False, precision=precision,
+                     remat=remat, use_pallas=use_pallas)
+    x = _layer_norm(p["ln_post"]["ln"], x if not pool else x[:, 0],
+                    precision)
+    feats = jnp.dot(x, p["proj"].astype(cd),
+                    precision=precision.matmul_precision,
+                    preferred_element_type=precision.accum_dtype
+                    ).astype(jnp.float32)
+    if normalize:
+        feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+    return feats
+
+
+def text_encode(p, token_ids, cfg: TextConfig, precision: Precision,
+                normalize: bool = False, remat: bool = False,
+                use_pallas: bool = False):
+    """Same math as clip.TextTower.__call__ on params['text']."""
+    cd = precision.compute_dtype
+    x = p["token_embedding"][token_ids].astype(cd)
+    x = x + p["positional_embedding"].astype(cd)
+    x = _transformer(p["transformer"], x, cfg.heads, cfg.layers,
+                     cfg.quick_gelu, causal=True, precision=precision,
+                     remat=remat, use_pallas=use_pallas)
+    x = _layer_norm(p["ln_final"]["ln"], x, precision)
+    eot = jnp.argmax(token_ids, axis=-1)
+    x = x[jnp.arange(x.shape[0]), eot]
+    feats = jnp.dot(x, p["text_projection"].astype(cd),
+                    precision=precision.matmul_precision,
+                    preferred_element_type=precision.accum_dtype
+                    ).astype(jnp.float32)
+    if normalize:
+        feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+    return feats
+
+
+# ---------------------------------------------------------------------------
+# dispatchers: functional fast path for ViT, Flax fallback otherwise
+
+
+def _is_vit(model) -> bool:
+    from swat_tpu.models.resnet import ResNetConfig
+
+    return not isinstance(model.cfg.vision, ResNetConfig)
+
+
+def _pick_pallas(model, mode: str) -> bool:
+    """Measured policy (scripts/ablate_functional.py on v5e): the fused
+    packed-attention *forward* beats XLA by ~27% (21.7 vs 27.5 ms/step
+    fwd-only @ bsz 256 ViT-B/32), but every fused *backward* variant loses
+    to XLA's autodiff at these tiny (S=50) shapes.  So inference paths use
+    the kernel on TPU; training uses XLA unless explicitly flagged."""
+    if mode == "infer":
+        return model.use_pallas or jax.default_backend() == "tpu"
+    return model.use_pallas
+
+
+def encode_image(model, params, images, normalize: bool = False,
+                 mode: str = "train"):
+    """Drop-in for model.apply(..., method=CLIPModel.encode_image).
+    mode: 'train' (will be differentiated) or 'infer' (forward only)."""
+    if _is_vit(model):
+        return vit_encode_image(params["visual"], images, model.cfg.vision,
+                                model.precision, normalize=normalize,
+                                remat=model.remat,
+                                use_pallas=_pick_pallas(model, mode))
+    from swat_tpu.models.clip import CLIPModel
+
+    return model.apply({"params": params}, images, normalize,
+                       method=CLIPModel.encode_image)
+
+
+def encode_text(model, params, token_ids, normalize: bool = False,
+                mode: str = "train"):
+    """Drop-in for model.apply(..., method=CLIPModel.encode_text)."""
+    if _is_vit(model):
+        return text_encode(params["text"], token_ids, model.cfg.text,
+                           model.precision, normalize=normalize,
+                           remat=model.remat,
+                           use_pallas=_pick_pallas(model, mode))
+    from swat_tpu.models.clip import CLIPModel
+
+    return model.apply({"params": params}, token_ids, normalize,
+                       method=CLIPModel.encode_text)

@@ -86,8 +86,10 @@ def extract_mined_features(model, params, samples: List[Sample],
 
     @jax.jit
     def encode_text(tok):
-        return model.apply({"params": params}, tok, True,
-                           method=CLIPModel.encode_text)
+        from swat_tpu.models import functional as F
+
+        return F.encode_text(model, params, tok, normalize=True,
+                             mode="infer")
 
     cap_feats = []
     n = tokens.shape[0]

@@ -45,9 +45,11 @@ def _get_images(batch, key, image_size: int = 224):
 
 
 def _encode(model, params, images):
-    feats = model.apply({"params": params}, images, True,
-                        method=CLIPModel.encode_image)
-    return feats
+    # functional fast path (ViT): plain-loop layers, no scan-VJP residual
+    # stacking (see swat_tpu.models.functional module doc)
+    from swat_tpu.models import functional as F
+
+    return F.encode_image(model, params, images, normalize=True)
 
 
 def _scaled_logits(head, logit_scale, feats):
@@ -233,9 +235,10 @@ def make_flyp_step(model: CLIPModel, tx, loss: LossFn = cross_entropy,
         def loss_fn(trainable):
             images = _get_images(batch, key, image_size)
             img_f = _encode(model, trainable["model"], images)
-            txt_f = model.apply({"params": trainable["model"]},
-                                batch["prompt_tokens"], True,
-                                method=CLIPModel.encode_text)
+            from swat_tpu.models import functional as F
+
+            txt_f = F.encode_text(model, trainable["model"],
+                                  batch["prompt_tokens"], normalize=True)
             scale = jnp.exp(trainable["logit_scale"])
             logits_i = scale * img_f @ txt_f.T
             logits_t = logits_i.T

@@ -43,3 +43,98 @@ def test_gradients_match_xla(rng, causal):
     for a, b, name in zip(g_pal, g_ref, "qkv"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-5, err_msg=name)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("s,heads,hd", [(50, 12, 768), (77, 8, 512)])
+def test_mha_packed_matches_xla(causal, s, heads, hd, rng):
+    """Packed-layout fused MHA == XLA heads-last attention (fwd + grads)."""
+    from swat_tpu.kernels.attention import attention_heads_last
+    from swat_tpu.kernels.flash_attention import mha_packed
+
+    b = 3
+    head_dim = hd // heads
+    q = jnp.asarray(rng.standard_normal((b, s, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, hd)), jnp.float32)
+
+    def ref_fn(q, k, v):
+        hl = lambda t: t.reshape(b, s, heads, head_dim)
+        out = attention_heads_last(hl(q), hl(k), hl(v), causal=causal)
+        return out.reshape(b, s, hd)
+
+    ref = ref_fn(q, k, v)
+    got = mha_packed(q, k, v, heads=heads, causal=causal, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    # gradients through the custom VJP
+    def loss_ref(args):
+        return jnp.sum(jnp.square(ref_fn(*args)))
+
+    def loss_got(args):
+        return jnp.sum(jnp.square(mha_packed(
+            *args, heads=heads, causal=causal, interpret=True)))
+
+    g_ref = jax.grad(loss_ref)((q, k, v))
+    g_got = jax.grad(loss_got)((q, k, v))
+    for a, b_ in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_mha_packed_hybrid_bwd_matches(rng):
+    """Hybrid (pallas fwd + XLA autodiff bwd) == pure XLA, fwd and grads."""
+    from swat_tpu.kernels.attention import attention_heads_last
+    from swat_tpu.kernels.flash_attention import mha_packed
+
+    b, s, heads, hd = 2, 50, 12, 768
+    head_dim = hd // heads
+    q, k, v = (jnp.asarray(rng.standard_normal((b, s, hd)), jnp.float32)
+               for _ in range(3))
+
+    def ref_fn(q, k, v):
+        hl = lambda t: t.reshape(b, s, heads, head_dim)
+        return attention_heads_last(hl(q), hl(k), hl(v),
+                                    causal=False).reshape(b, s, hd)
+
+    got = mha_packed(q, k, v, heads=heads, interpret=True, bwd="xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_fn(q, k, v)),
+                               rtol=2e-5, atol=2e-5)
+
+    g_ref = jax.grad(lambda a: jnp.sum(jnp.square(ref_fn(*a))))((q, k, v))
+    g_got = jax.grad(lambda a: jnp.sum(jnp.square(mha_packed(
+        *a, heads=heads, interpret=True, bwd="xla"))))((q, k, v))
+    for a, b_ in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_mha_packed_fused_bwd_matches(rng, causal):
+    """Fused-backward route (packed fwd + heads-first bwd kernel)."""
+    from swat_tpu.kernels.attention import attention_heads_last
+    from swat_tpu.kernels.flash_attention import mha_packed
+
+    b, s, heads, hd = 2, 50, 12, 768
+    head_dim = hd // heads
+    q, k, v = (jnp.asarray(rng.standard_normal((b, s, hd)), jnp.float32)
+               for _ in range(3))
+
+    def ref_fn(q, k, v):
+        hl = lambda t: t.reshape(b, s, heads, head_dim)
+        return attention_heads_last(hl(q), hl(k), hl(v),
+                                    causal=causal).reshape(b, s, hd)
+
+    got = mha_packed(q, k, v, heads=heads, causal=causal, interpret=True,
+                     bwd="fused")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_fn(q, k, v)),
+                               rtol=2e-5, atol=2e-5)
+
+    g_ref = jax.grad(lambda a: jnp.sum(jnp.square(ref_fn(*a))))((q, k, v))
+    g_got = jax.grad(lambda a: jnp.sum(jnp.square(mha_packed(
+        *a, heads=heads, causal=causal, interpret=True,
+        bwd="fused"))))((q, k, v))
+    for a, b_ in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4)

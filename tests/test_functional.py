@@ -1,0 +1,116 @@
+"""Functional forward (models/functional.py) must match the Flax towers
+exactly — checkpoints, TP specs, and parity tests are all defined against
+the Flax tree, and the hot paths run the functional twin."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from swat_tpu.core.precision import DEFAULT_PRECISION, FP32_PRECISION
+from swat_tpu.models import functional as F
+from swat_tpu.models.clip import CLIPModel
+from swat_tpu.models.configs import CLIPConfig, TextConfig, VisionConfig
+
+CFG = CLIPConfig(
+    name="tiny",
+    vision=VisionConfig(image_size=32, patch_size=16, width=64, layers=3,
+                        heads=4, embed_dim=48, quick_gelu=True),
+    text=TextConfig(context_length=12, vocab_size=100, width=64, layers=2,
+                    heads=4, embed_dim=48, quick_gelu=True),
+)
+
+
+def _init(model):
+    return model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 32, 32, 3), jnp.float32),
+        jnp.zeros((1, 12), jnp.int32))["params"]
+
+
+# fp32 must match to float rounding; bf16 tolerates accumulation-order
+# noise between the scan body and straight-line fusion (bf16 eps ~7.8e-3;
+# per-block comparison IS exact — see the bisect note in the module doc)
+TOLS = {"fp32": dict(rtol=0, atol=1e-6), "bf16": dict(rtol=0, atol=8e-3)}
+
+
+@pytest.mark.parametrize("precision", [FP32_PRECISION, DEFAULT_PRECISION],
+                         ids=["fp32", "bf16"])
+def test_image_forward_matches_flax(precision, request):
+    model = CLIPModel(CFG, precision=precision)
+    params = _init(model)
+    images = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    ref = model.apply({"params": params}, images, True,
+                      method=CLIPModel.encode_image)
+    got = F.encode_image(model, params, images, normalize=True)
+    tol = TOLS[request.node.callspec.id]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), **tol)
+
+
+@pytest.mark.parametrize("precision", [FP32_PRECISION, DEFAULT_PRECISION],
+                         ids=["fp32", "bf16"])
+def test_text_forward_matches_flax(precision, request):
+    model = CLIPModel(CFG, precision=precision)
+    params = _init(model)
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (5, 12), 0, 100)
+    # EOT = highest id: force a known max position
+    tokens = tokens.at[:, 7].set(99)
+    ref = model.apply({"params": params}, tokens, True,
+                      method=CLIPModel.encode_text)
+    got = F.encode_text(model, params, tokens, normalize=True)
+    tol = TOLS[request.node.callspec.id]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), **tol)
+
+
+def test_gradients_match_flax():
+    """fwd+bwd equivalence: same loss, same grads (the training path).
+    fp32 policy for exactness — bf16 differs only by accumulation order."""
+    model = CLIPModel(CFG, precision=FP32_PRECISION)
+    params = _init(model)
+    images = jax.random.normal(jax.random.PRNGKey(3), (4, 32, 32, 3))
+    head = jax.random.normal(jax.random.PRNGKey(4), (7, CFG.embed_dim))
+    labels = jnp.asarray([0, 1, 2, 3])
+
+    def loss_flax(p):
+        f = model.apply({"params": p}, images, True,
+                        method=CLIPModel.encode_image)
+        logits = f @ head.T
+        return -jnp.mean(jax.nn.log_softmax(logits)[
+            jnp.arange(4), labels])
+
+    def loss_fn(p):
+        f = F.encode_image(model, p, images, normalize=True)
+        logits = f @ head.T
+        return -jnp.mean(jax.nn.log_softmax(logits)[
+            jnp.arange(4), labels])
+
+    v1, g1 = jax.value_and_grad(loss_flax)(params)
+    v2, g2 = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    flat2 = jax.tree_util.tree_leaves(g2)
+    assert len(flat1) == len(flat2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_remat_matches():
+    model = CLIPModel(CFG, remat=True)
+    params = _init(model)
+    images = jax.random.normal(jax.random.PRNGKey(5), (2, 32, 32, 3))
+    base = F.vit_encode_image(params["visual"], images, CFG.vision,
+                              model.precision, remat=False)
+    rem = F.vit_encode_image(params["visual"], images, CFG.vision,
+                             model.precision, remat=True)
+    np.testing.assert_allclose(np.asarray(rem), np.asarray(base),
+                               rtol=0, atol=0)
+
+
+def test_resnet_falls_back_to_flax():
+    from swat_tpu.models.configs import get_model_config
+
+    cfg = get_model_config("rn50_clip")
+    # tiny-fy to keep the test fast: just check the dispatch predicate
+    model = CLIPModel(cfg)
+    assert not F._is_vit(model)
