@@ -174,6 +174,15 @@ def parse_config(argv=None):
         dataset_path = yml.get("dataset_path", dataset_path)
         retrieved_path = yml.get("retrieved_path", retrieved_path)
 
+    # the reference unconditionally overwrites --val_split/--test_split
+    # with the derived fewshot/test files (utils/parser.py:188-189); keep
+    # that behavior but warn instead of silently ignoring an override
+    if args.val_split != "fewshotX.txt":
+        print(f"WARNING: --val_split={args.val_split} ignored; the val "
+              "split is always the fewshot file (reference parser.py:188)")
+    if args.test_split != "test.txt":
+        print(f"WARNING: --test_split={args.test_split} ignored; the test "
+              "split is always test.txt (reference parser.py:189)")
     drop = {"config_yml", "val_split", "test_split"}
     kwargs = {k: v for k, v in vars(args).items() if k not in drop}
     cfg = RunConfig(dataset_path=dataset_path,

@@ -173,10 +173,16 @@ class RunConfig:
 
     @property
     def val_split(self) -> SplitSpec:
+        # dataset-cls validates on the dedicated mixed split with an empty
+        # root (reference utils/parser.py:203: paths are cwd-relative)
+        if self.data_source == "dataset-cls":
+            return (["dataset_val.txt"], [""])
         return ([self.fewshot_file], [self.dataset_dir])
 
     @property
     def test_split(self) -> SplitSpec:
+        if self.data_source == "dataset-cls":
+            return (["dataset_test.txt"], [""])  # parser.py:204
         return (["test.txt"], [self.dataset_dir])
 
     @property

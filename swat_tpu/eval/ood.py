@@ -46,17 +46,24 @@ def wnid_to_index() -> Dict[str, int]:
     return {w: i for i, w in enumerate(asset["all_wnids"])}
 
 
-def folder_dataset_samples(root: str, label_map: Dict[str, int],
-                           exts=(".jpeg", ".JPEG", ".jpg", ".png")
-                           ) -> List[Sample]:
-    """wnid-folder tree -> samples with ImageNet-1k (or subset) labels."""
+def folder_dataset_samples(root: str, label_map: Optional[Dict[str, int]],
+                           exts=(".jpeg", ".JPEG", ".jpg", ".png"),
+                           numeric: bool = False) -> List[Sample]:
+    """Class-folder tree -> samples with ImageNet-1k (or subset) labels.
+
+    ``numeric=True`` handles ImageNet-V2's numeric class-index folders
+    ("0".."999" -> label = int(name), reference
+    utils/datasets/imagenet_1k.py:82-84); otherwise folder names are wnids
+    resolved through ``label_map``."""
     rootp = pathlib.Path(root)
     samples: List[Sample] = []
     for ext in exts:
         for p in sorted(rootp.glob(f"**/*{ext}")):
-            wnid = p.parent.name
-            if wnid in label_map:
-                samples.append(Sample(str(p), label_map[wnid], 0))
+            name = p.parent.name
+            if numeric and name.isdigit():
+                samples.append(Sample(str(p), int(name), 0))
+            elif label_map is not None and name in label_map:
+                samples.append(Sample(str(p), label_map[name], 0))
         if samples:
             break
     return samples
@@ -113,7 +120,13 @@ def test_imagenet_ood(evaluator, params, head, logit_scale, dataset_path,
                          if j in inv}
         else:
             label_map = wmap
-        samples = folder_dataset_samples(root, label_map)
+        # ImageNet-V2 ships numeric class-index folders (reference
+        # imagenet_1k.py:82-84); wnid folders still work as a fallback.
+        samples = folder_dataset_samples(root, label_map,
+                                         numeric=(name == "imagenet_v2"))
+        if not samples:
+            logger.info(f"{name}: no labeled images under {root}, skipped")
+            continue
         loader = make_loader(samples)
         acc = validate_ood(evaluator, params, head, logit_scale, loader, sub)
         accs[name] = acc

@@ -34,8 +34,10 @@ class Evaluator:
         self.loss = loss
 
         def encode(params, images):
-            return model.apply({"params": params}, images, True,
-                               method=CLIPModel.encode_image)
+            from swat_tpu.models import functional as F
+
+            return F.encode_image(model, params, images, normalize=True,
+                                   mode="infer")
 
         def eval_feats(head, logit_scale, feats, labels, source, mask):
             logits = head_logits(head, feats)
@@ -94,6 +96,45 @@ class Evaluator:
                     f.write(f"{pred} {logit}\n")
         acc = correct / max(count, 1) * 100.0
         return acc, float(np.mean(batch_losses)), cm
+
+
+def validate_multitask(evaluator: Evaluator, params, cls_head, dataset_head,
+                       logit_scale, loader, loss: LossFn = cross_entropy):
+    """Dual-head validation for finetune-multitask (reference
+    validate_multitask, testing.py:189-278): the class head is scored
+    against labels, the binary dataset head against the source flag, over
+    the same loader pass.
+
+    Returns (acc%, mean_loss, cm, dataset_acc%, dataset_cm)."""
+    num_classes = int(np.asarray(cls_head).shape[0])
+    cm = np.zeros((num_classes, num_classes), np.int64)
+    dcm = np.zeros((2, 2), np.int64)
+    correct = d_correct = count = 0
+    batch_losses = []
+    logit_scale = jnp.asarray(logit_scale, jnp.float32)
+    for batch in loader:
+        feats = evaluator._encode(params, batch["images"])
+        mask = np.asarray(batch["mask"])
+        labels = np.asarray(batch["labels"])
+        source = np.asarray(batch["source"])
+        logits = np.asarray(head_logits(jnp.asarray(cls_head), feats))
+        d_logits = np.asarray(head_logits(jnp.asarray(dataset_head), feats))
+        preds = logits.argmax(axis=-1)
+        d_preds = d_logits.argmax(axis=-1)
+        n = int(mask.sum())
+        correct += int(((preds == labels) & mask).sum())
+        d_correct += int(((d_preds == source) & mask).sum())
+        count += n
+        scaled = jnp.asarray(logits) * jnp.exp(logit_scale)
+        per = np.asarray(_per_sample_loss(loss, scaled,
+                                          jnp.asarray(labels),
+                                          jnp.asarray(source)))
+        batch_losses.append(float((per * mask).sum()) / max(n, 1))
+        cm = confusion_matrix_update(cm, preds, labels, mask)
+        dcm = confusion_matrix_update(dcm, d_preds, source, mask)
+    acc = correct / max(count, 1) * 100.0
+    d_acc = d_correct / max(count, 1) * 100.0
+    return acc, float(np.mean(batch_losses)), cm, d_acc, dcm
 
 
 def _per_sample_loss(loss: LossFn, logits, labels, source):

@@ -148,8 +148,10 @@ def make_scan_epoch(model: CLIPModel, tx, method: str,
                 lam = 1.0
             else:
                 raise NotImplementedError(method)
-            feats = model.apply({"params": trainable["model"]}, images,
-                                True, method=CLIPModel.encode_image)
+            from swat_tpu.models import functional as F
+
+            feats = F.encode_image(model, trainable["model"], images,
+                                   normalize=True)
             logits = head_logits(trainable["head"], feats) * jnp.exp(
                 trainable["logit_scale"])
             if lam_vec is not None:
@@ -220,11 +222,14 @@ class ResidentEval:
     """Eval split preprocessed once: uint8 center-cropped pixels on device,
     padded to a batch multiple with a mask."""
 
-    def __init__(self, images_u8, labels, mask, num_classes: int):
+    def __init__(self, images_u8, labels, mask, num_classes: int,
+                 source=None):
         self.images_u8 = images_u8
         self.labels = labels
         self.mask = mask
         self.num_classes = num_classes
+        self.source = (source if source is not None
+                       else jnp.full_like(labels, -1))
 
     @classmethod
     def from_samples(cls, samples, num_classes: int, n_px: int = 224,
@@ -256,19 +261,28 @@ class ResidentEval:
         images = np.stack(images)
         labels = np.asarray([s.label for s in samples] + [0] * pad,
                             np.int32)
+        source = np.asarray([s.is_fewshot for s in samples] + [0] * pad,
+                            np.int32)
         mask = np.arange(n + pad) < n
         put = (lambda x: jax.device_put(x, sharding)) if sharding \
             else jax.device_put
-        return cls(put(images), put(labels), put(mask), num_classes)
+        return cls(put(images), put(labels), put(mask), num_classes,
+                   put(source))
 
 
 def make_scan_eval(model: CLIPModel, num_classes: int, batch_size: int = 256,
                    loss: LossFn = cross_entropy):
     """Returns eval_fn(params, head, logit_scale, resident_eval) ->
-    (acc%, mean_loss, confusion_matrix) in ONE device dispatch."""
+    (acc%, mean_loss, confusion_matrix) in ONE device dispatch.
+
+    ``loss`` is the run's configured LossFn (CE/WeightedCE/Focal/
+    BalancedSoftmax) evaluated per sample — same numbers as the streaming
+    Evaluator path (reference validate computes args.loss,
+    testing.py:441-447)."""
+    from swat_tpu.eval.validate import _per_sample_loss
 
     @jax.jit
-    def run(params, head, logit_scale, images_u8, labels, mask):
+    def run(params, head, logit_scale, images_u8, labels, mask, source):
         n = images_u8.shape[0]
         steps = n // batch_size
 
@@ -280,15 +294,18 @@ def make_scan_eval(model: CLIPModel, num_classes: int, batch_size: int = 256,
                                               batch_size)
             mk = jax.lax.dynamic_slice_in_dim(mask, i * batch_size,
                                               batch_size)
+            sc = jax.lax.dynamic_slice_in_dim(source, i * batch_size,
+                                              batch_size)
             x = aug.normalize(sl)
-            feats = model.apply({"params": params}, x, True,
-                                method=CLIPModel.encode_image)
+            from swat_tpu.models import functional as F
+
+            feats = F.encode_image(model, params, x, normalize=True,
+                                   mode="infer")
             logits = head_logits(head, feats)
             preds = jnp.argmax(logits, axis=-1)
             correct += jnp.sum((preds == lb) & mk)
             scaled = (logits * jnp.exp(logit_scale)).astype(jnp.float32)
-            logp = jax.nn.log_softmax(scaled, axis=-1)
-            per = -jnp.take_along_axis(logp, lb[:, None], 1)[:, 0]
+            per = _per_sample_loss(loss, scaled, lb, sc)
             loss_sum += jnp.sum(per * mk)
             cnt += jnp.sum(mk)
             upd = jnp.zeros((num_classes * num_classes,), jnp.int32).at[
@@ -306,7 +323,8 @@ def make_scan_eval(model: CLIPModel, num_classes: int, batch_size: int = 256,
     def eval_fn(params, head, logit_scale, ev: ResidentEval):
         acc, mean_loss, cm = run(params, head,
                                  jnp.asarray(logit_scale, jnp.float32),
-                                 ev.images_u8, ev.labels, ev.mask)
+                                 ev.images_u8, ev.labels, ev.mask,
+                                 ev.source)
         return float(acc), float(mean_loss), np.asarray(cm)
 
     return eval_fn

@@ -156,8 +156,10 @@ class SwatPipeline:
 
         @jax.jit
         def encode(tokens):
-            return model.apply({"params": params}, tokens, True,
-                               method=CLIPModel.encode_text)
+            from swat_tpu.models import functional as F
+
+            return F.encode_text(model, params, tokens, normalize=True,
+                                 mode="infer")
 
         return encode
 
@@ -185,6 +187,21 @@ class SwatPipeline:
 
     def _samples(self, split):
         return read_split(self.cfg.dataset_root, split)
+
+    def _train_samples(self, cfg: RunConfig):
+        """Train-split samples, plus pseudo-labeled unlabeled data when
+        --utrain is set (reference utils/dataloader.py:188-202 +
+        inat_dataset.py:26-32 append semantics)."""
+        samples = self._samples(cfg.train_split)
+        if cfg.utrain:
+            from swat_tpu.data.splits import read_pseudo_split
+
+            pseudo = read_pseudo_split(cfg.utrain)
+            self.logger.info(
+                f"Load utrain data with pseudo-labels from: {cfg.utrain} "
+                f"({len(pseudo)} samples)")
+            samples = samples + pseudo
+        return samples
 
     def _eval_loader(self, split, bsz: int = 128):
         return EvalLoader(self._samples(split), batch_size=bsz,
@@ -221,7 +238,8 @@ class SwatPipeline:
         ev = ResidentEval.from_samples(samples, cfg.num_classes, n_px=n_px,
                                        num_workers=cfg.num_workers)
         if self._scan_eval is None:
-            self._scan_eval = make_scan_eval(self.model, cfg.num_classes)
+            self._scan_eval = make_scan_eval(self.model, cfg.num_classes,
+                                             loss=self._loss())
         self._resident_eval_cache[tag] = ev
         return ev
 
@@ -263,7 +281,7 @@ class SwatPipeline:
             # pre-extract features with the (frozen) current params
             train_feats = extract_image_features(
                 self.model, params,
-                EvalLoader(self._samples(cfg.train_split), 256,
+                EvalLoader(self._train_samples(cfg), 256,
                            image_size, cfg.num_workers), self.mesh)
             train_loader = FeatureBatches(
                 train_feats["image_features"], train_feats["labels"],
@@ -277,7 +295,7 @@ class SwatPipeline:
                 self.mesh)
         else:
             train_loader = TrainLoader(
-                self._samples(cfg.train_split), batch_size=cfg.bsz,
+                self._train_samples(cfg), batch_size=cfg.bsz,
                 seed=cfg.training_seed, mode=cfg.aug_mode,
                 n_px=image_size, num_workers=cfg.num_workers,
                 tokenized_prompts=(self.tokenized_prompts
@@ -298,11 +316,11 @@ class SwatPipeline:
             from swat_tpu.data.transforms import CANVAS_SIZE
             from swat_tpu.train.scan_loop import ResidentData
 
-            samples = self._samples(cfg.train_split)
+            samples = self._train_samples(cfg)
             twin_samples = (self._samples(cfg.fewshot_data)
                             if method in SCAN_TWIN_METHODS else [])
             if method == "CMO":
-                twin_samples = self._samples(cfg.train_split)
+                twin_samples = self._train_samples(cfg)
             est = (len(samples) + len(twin_samples)) * \
                 CANVAS_SIZE * CANVAS_SIZE * 3
             if cfg.resident == "on" or est <= cfg.resident_budget_bytes:
@@ -397,7 +415,7 @@ class SwatPipeline:
                 self.model, tx, "CMO", loss, cutmix_beta=cfg.cutmix_beta,
                 mix_prob=cfg.mix_prob, image_size=image_size)
             twin_cycler = CyclingLoader(WeightedTrainLoader(
-                self._samples(cfg.train_split), cfg.num_classes,
+                self._train_samples(cfg), cfg.num_classes,
                 cfg.cmo_alpha, batch_size=cfg.bsz, seed=cfg.training_seed,
                 mode=cfg.aug_mode, n_px=image_size,
                 num_workers=cfg.num_workers))
@@ -488,6 +506,28 @@ class SwatPipeline:
                 acc, _, _ = self.evaluator.validate(
                     state.model, _cls_head(state.head), state.logit_scale,
                     loader)
+                return acc
+        elif method == "finetune-multitask":
+            # dual-head validation: class acc + dataset-source acc
+            # (reference validate_multitask, testing.py:189-278)
+            from swat_tpu.eval.validate import validate_multitask
+
+            def validate_fn(state):
+                loader = EvalLoader(self._samples(cfg.val_split), 128,
+                                    image_size, cfg.num_workers)
+                acc, vloss, cm, d_acc, _ = validate_multitask(
+                    self.evaluator, state.model, state.head["cls"],
+                    state.head["dataset"], state.logit_scale, loader, loss)
+                logger.info(f"Dataset Val Acc: {round(d_acc, 3)}")
+                return acc, vloss, cm
+
+            def test_fn(state):
+                loader = EvalLoader(self._samples(cfg.test_split), 128,
+                                    image_size, cfg.num_workers)
+                acc, _, _, d_acc, _ = validate_multitask(
+                    self.evaluator, state.model, state.head["cls"],
+                    state.head["dataset"], state.logit_scale, loader, loss)
+                logger.info(f"Dataset Test Acc: {round(d_acc, 3)}")
                 return acc
         else:
             val_split = (cfg.test_split if method == "fixmatch"
@@ -841,6 +881,28 @@ class SwatPipeline:
         return test_acc
 
     # ------------------------------------------------------------------
+    # ImageNet OOD sweep (reference main.py:599-602, testing.py:22-72)
+
+    def run_ood(self, stage1_path: Optional[str] = None) -> Dict[str, float]:
+        """4-dataset OOD sweep with the stage-1 best model (the reference
+        passes the live ``model`` object, which at that point holds the
+        stage-1 best weights reloaded by the stage-2 runs)."""
+        from swat_tpu.eval.ood import test_imagenet_ood
+
+        params, head = self.params, self.head
+        if stage1_path:
+            params, head, _, _ = self._load_ckpt(stage1_path)
+
+        def make_loader(samples):
+            return EvalLoader(samples, batch_size=256,
+                              n_px=self.model_cfg.vision.image_size,
+                              num_workers=self.cfg.num_workers)
+
+        return test_imagenet_ood(
+            self.evaluator, params, head, None, self.cfg.dataset_path,
+            make_loader, self.logger)
+
+    # ------------------------------------------------------------------
     # full run (reference __main__, main.py:544-606)
 
     def run(self) -> str:
@@ -868,6 +930,12 @@ class SwatPipeline:
 
         self.logger.info(
             f"Total time: {round((time.time() - start) / 60, 1)} mins.")
+
+        # ---- ImageNet OOD sweep (reference main.py:599-602)
+        if cfg.test_imagenet_ood:
+            self.logger.info("Test ImageNet OOD ......")
+            self.run_ood(stage1_path)
+
         summary = (f"{cfg.dataset},{stage1_method},{cfg.data_source},"
                    f"{cfg.cls_init},{cfg.shots},{cfg.seed},"
                    f"{cfg.retrieval_split},{round(stage1_acc, 1)},"

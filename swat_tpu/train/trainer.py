@@ -174,8 +174,12 @@ def train_loop(
             f"Val Acc: {round(val_acc, 3)}, Test Acc: {round(test_acc, 3)}, "
             f"{meter.items_per_sec:.0f} img/s")
 
+        # save_freq is documented "in epoch" (reference utils/parser.py:141);
+        # the reference code gates on num_iter % save_freq
+        # (utils/training.py:153), a bug that almost never fires — follow
+        # the documented per-epoch semantics instead
         if cfg.save_ckpt and ckpt_dir and (
-                num_iter % cfg.save_freq == 0 or epoch == cfg.epochs):
+                epoch % cfg.save_freq == 0 or epoch == cfg.epochs):
             path = save_train_ckpt(ckpt_dir, f"ep{epoch}_it{num_iter}",
                                    state, best.records)
             logger.info(f"Model ckpt saved to: {path}")
@@ -184,6 +188,8 @@ def train_loop(
             break
 
     if best.trainable is None:  # epochs == 0 edge: keep current weights
+        logger.info("No training epochs ran; snapshotting current weights "
+                    f"(val_acc {round(val_acc, 3)} recorded as best)")
         best.trainable = snapshot_trainable(state)
         best.records = {"best_val_acc": val_acc, "best_epoch": -1,
                         "best_iter": num_iter, "best_scores": {},
