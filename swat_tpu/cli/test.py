@@ -37,6 +37,10 @@ def main(argv=None):
     p.add_argument("--predict_labels", default=None,
                    help="write '<pred> <max_logit>' lines here (pseudo-"
                         "labels for the utrain flow, testing.py:466-480)")
+    p.add_argument("--utrain_out", default=None,
+                   help="write '<path> <pred> 0' lines here — a ready "
+                        "--utrain split for pseudo-label training "
+                        "(reference utils/dataloader.py:188-202)")
     p.add_argument("--folder", default="output/eval")
     args = p.parse_args(argv)
 
@@ -69,16 +73,37 @@ def main(argv=None):
         pipe.logger.info(f"Loaded {args.model_path}: meta={meta}")
 
     split = ([args.split], [cfg.dataset_dir])
-    if args.predict_labels:
+    if args.predict_labels or args.utrain_out:
+        import os
+        import tempfile
+
         from swat_tpu.data.pipeline import EvalLoader
 
-        loader = EvalLoader(pipe._samples(split), batch_size=args.bsz,
+        predict_path = args.predict_labels
+        if predict_path is None:
+            predict_path = os.path.join(tempfile.gettempdir(),
+                                        "swat_predict_labels.txt")
+        samples = pipe._samples(split)
+        loader = EvalLoader(samples, batch_size=args.bsz,
                             n_px=pipe.model_cfg.vision.image_size,
                             num_workers=args.num_workers)
         acc, loss, cm = pipe.evaluator.validate(
             params, _cls_head(head), logit_scale, loader,
             return_confusion=True,
-            predict_labels_path=args.predict_labels)
+            predict_labels_path=predict_path)
+        if args.utrain_out:
+            # pair the split's sample order (EvalLoader is deterministic)
+            # with the dumped predictions -> a ready --utrain split
+            with open(predict_path) as f:
+                preds = [line.split()[0] for line in f if line.strip()]
+            assert len(preds) == len(samples), (len(preds), len(samples))
+            os.makedirs(os.path.dirname(args.utrain_out) or ".",
+                        exist_ok=True)
+            with open(args.utrain_out, "w") as f:
+                for s, pred in zip(samples, preds):
+                    f.write(f"{s.path} {pred} 0\n")
+            pipe.logger.info(f"utrain split ({len(preds)} pseudo-labeled "
+                             f"samples) saved to: {args.utrain_out}")
     else:
         acc, loss, cm = pipe._validate_images(
             params, _cls_head(head), logit_scale, split,

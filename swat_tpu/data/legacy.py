@@ -38,3 +38,32 @@ def read_legacy_split(dataset_root: str, split: str, task: str = "All",
         rows += [parse(x) for x in pl_list if x.strip()]
     return [Sample(os.path.join(dataset_root, p), label, 1)
             for p, label in rows]
+
+
+def read_cub200_split(root: str, train: bool = True) -> List[Sample]:
+    """CUB-200-2011 metadata reader (reference utils/datasets/CUB200.py:
+    Cub2011._load_metadata/__getitem__): joins images.txt,
+    image_class_labels.txt and train_test_split.txt on img_id; labels are
+    1-indexed in the metadata and shift to 0 (:74).  Download handling is
+    out of scope (no network); point ``root`` at an extracted
+    CUB_200_2011 tree."""
+    meta = os.path.join(root, "CUB_200_2011")
+
+    def read_pairs(name):
+        out = {}
+        with open(os.path.join(meta, name)) as f:
+            for line in f:
+                k, v = line.split()
+                out[k] = v
+        return out
+
+    files = read_pairs("images.txt")
+    labels = read_pairs("image_class_labels.txt")
+    is_train = read_pairs("train_test_split.txt")
+    want = "1" if train else "0"
+    return [
+        Sample(os.path.join(meta, "images", files[i]),
+               int(labels[i]) - 1, 1)
+        for i in sorted(files, key=int)
+        if is_train.get(i) == want and i in labels
+    ]

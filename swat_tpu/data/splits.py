@@ -41,6 +41,30 @@ def read_split(dataset_root: str, split: SplitSpec) -> List[Sample]:
     return samples
 
 
+def read_pseudo_split(path: str) -> List[Sample]:
+    """Pseudo-labeled unlabeled data for the --utrain flow: lines are
+    ``<path> <label>`` or ``<path> <label> <is_fewshot>``; paths are taken
+    as-is (the dump writes resolved paths).  Merge semantics mirror the
+    reference's pl_list append (utils/datasets/inat_dataset.py:26-32 —
+    the intended consumer; the modern MyDataset wiring in the reference
+    drops pl_list on the floor, utils/dataloader.py:144 vs
+    dataset_utils.py:58-64).  Pseudo samples count as retrieved
+    (is_fewshot=0) unless the file says otherwise."""
+    samples: List[Sample] = []
+    with open(path) as f:
+        for line in f:
+            toks = line.strip().split()
+            if len(toks) < 2:
+                continue
+            if (len(toks) >= 3 and toks[-1] in ("0", "1")
+                    and toks[-2].lstrip("-").isdigit()):
+                p, label, is_fs = " ".join(toks[:-2]), toks[-2], toks[-1]
+            else:
+                p, label, is_fs = " ".join(toks[:-1]), toks[-1], "0"
+            samples.append(Sample(p, int(label), int(is_fs)))
+    return samples
+
+
 def write_split(path: str, samples: Sequence[Sample]):
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as f:

@@ -256,14 +256,16 @@ def rand_augment(images: jnp.ndarray, key: jax.Array, n: int = 2,
     b = images.shape[0]
 
     def one(img, key):
-        keys = jax.random.split(key, n * 4 + 1)
+        # 5 keys per op (op/mag/gate/sign + a fresh key for the op body)
+        # plus one for the cutout — no key is ever consumed twice
+        keys = jax.random.split(key, n * 5 + 1)
         for j in range(n):
-            k_op, k_mag, k_gate, k_sign = keys[j * 4: j * 4 + 4]
+            k_op, k_mag, k_gate, k_sign, k_apply = keys[j * 5: j * 5 + 5]
             op_idx = jax.random.randint(k_op, (), 0, NUM_OPS)
             magnitude = jax.random.randint(k_mag, (), 1, m).astype(jnp.float32)
             gate = jax.random.uniform(k_gate) < 0.5
             sign = jnp.where(jax.random.uniform(k_sign) < 0.5, -1.0, 1.0)
-            img = _apply_one(img, op_idx, magnitude, sign, gate, keys[-1])
+            img = _apply_one(img, op_idx, magnitude, sign, gate, k_apply)
         return cutout_abs(img, cutout, keys[-1])
 
     return jax.vmap(one)(images, jax.random.split(key, b))

@@ -237,7 +237,14 @@ def torch_rn50_visual_to_params(sd: Mapping[str, Any],
 
 
 def load_torch_checkpoint(path: str, vision_layers: int, text_layers: int):
-    """Load an OpenCLIP/CLIP ``.pt``/``.bin`` checkpoint file from disk."""
+    """Load pretrained weights: an OpenCLIP/CLIP torch ``.pt``/``.bin``
+    state dict, or a converted msgpack bundle from
+    ``python -m swat_tpu.cli.convert`` (no torch needed on the TPU host)."""
+    if path.endswith(".msgpack"):
+        from swat_tpu.train.checkpoint import load_bundle
+
+        arrays, _ = load_bundle(path)
+        return arrays["clip"], float(np.asarray(arrays["logit_scale"]))
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)

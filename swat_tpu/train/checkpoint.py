@@ -104,10 +104,37 @@ def save_best_model(output_dir: str, stage: int, *, best_records: dict,
 
 
 def load_best_model(path: str, params_template=None, head_template=None):
-    """Returns (model_params, head, logit_scale, meta).  The tau/WiSE-FT
-    artifacts remain available via load_bundle(path)."""
+    """Returns (model_params, head, logit_scale, meta) with the reference's
+    3-format dispatch (testing.py:85-117):
+
+    1. 'clip' + 'head'      — full stage bundle;
+    2. 'model'              — visual-tower-only warm start (SupCon-style,
+                              strict=False): visual weights replace the
+                              template's, text tower + head keep the
+                              caller's (zeroshot) values;
+    3. 'best_tau_head' only — tau-normalized head into the template head.
+
+    Formats 2/3 keep the caller's logit_scale (ln(100), like the
+    reference's zeroshot default).  The tau/WiSE-FT artifacts remain
+    available via load_bundle(path)."""
     arrays, meta = load_bundle(path)
-    return arrays["clip"], arrays["head"], arrays["logit_scale"], meta
+    if "clip" in arrays:
+        return arrays["clip"], arrays["head"], arrays["logit_scale"], meta
+    log100 = float(np.log(100.0))
+    if "model" in arrays:
+        if params_template is None:
+            raise ValueError(f"{path} is a visual-only checkpoint; a "
+                             "params template is required")
+        visual = arrays["model"].get("visual", arrays["model"])
+        params = dict(params_template)
+        params["visual"] = visual
+        return params, head_template, log100, meta
+    if "best_tau_head" in arrays:
+        head = arrays["best_tau_head"]
+        if isinstance(head, dict):
+            head = head["w"]
+        return params_template, head, log100, meta
+    raise ValueError(f"no model weights found in {path}: {list(arrays)}")
 
 
 def save_train_ckpt(ckpt_dir: str, tag: str, state, best_records: dict):

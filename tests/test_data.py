@@ -224,3 +224,25 @@ def test_topk_prompt_scoring(rng):
     labels = np.array([0, 1, 0])
     acc = validate_topk(feats, labels, tensors, k=3)
     assert acc == 100.0
+
+
+def test_cub200_reader(tmp_path):
+    """CUB-200-2011 metadata join (reference utils/datasets/CUB200.py)."""
+    import os
+
+    from swat_tpu.data.legacy import read_cub200_split
+
+    meta = tmp_path / "CUB_200_2011"
+    os.makedirs(meta)
+    (meta / "images.txt").write_text(
+        "1 001.Black_footed_Albatross/a.jpg\n"
+        "2 001.Black_footed_Albatross/b.jpg\n"
+        "3 002.Laysan_Albatross/c.jpg\n")
+    (meta / "image_class_labels.txt").write_text("1 1\n2 1\n3 2\n")
+    (meta / "train_test_split.txt").write_text("1 1\n2 0\n3 1\n")
+
+    train = read_cub200_split(str(tmp_path), train=True)
+    test = read_cub200_split(str(tmp_path), train=False)
+    assert [s.label for s in train] == [0, 1]  # 1-indexed -> 0-indexed
+    assert len(test) == 1 and test[0].path.endswith("b.jpg")
+    assert all("CUB_200_2011/images" in s.path for s in train)

@@ -189,3 +189,76 @@ def test_determinism_same_seed_same_losses(dataset_dir, tmp_path):
                                   "loss.csv")).read().splitlines()[1:]
         losses.append([line.split(",")[2] for line in lines])
     assert losses[0] == losses[1]
+
+
+def test_read_pseudo_split_formats(tmp_path):
+    from swat_tpu.data.splits import read_pseudo_split
+
+    p = tmp_path / "pl.txt"
+    p.write_text("imgs/a.jpg 2\n/abs/b.jpg 1 0\nmy dir/c.jpg 0\n\n")
+    samples = read_pseudo_split(str(p))
+    assert [(s.path, s.label, s.is_fewshot) for s in samples] == [
+        ("imgs/a.jpg", 2, 0), ("/abs/b.jpg", 1, 0), ("my dir/c.jpg", 0, 0)]
+
+
+def test_utrain_pseudo_label_flow(dataset_dir, tmp_path):
+    """Full --utrain loop: eval CLI dumps a pseudo-label split with
+    --utrain_out, then training consumes it (reference
+    utils/dataloader.py:188-202 + inat_dataset.py:26-32)."""
+    from swat_tpu.cli.test import main as test_main
+    from swat_tpu.train.stages import SwatPipeline
+
+    utrain_path = str(tmp_path / "utrain_pl.txt")
+    test_main([
+        "--dataset", DATASET, "--dataset_path", dataset_dir,
+        "--retrieved_path", dataset_dir, "--model_cfg", "test_tiny",
+        "--split", "T2T30.txt", "--bsz", "8", "--num_workers", "2",
+        "--folder", str(tmp_path / "evalout"),
+        "--utrain_out", utrain_path])
+    lines = open(utrain_path).read().strip().splitlines()
+    assert len(lines) == 30  # 10 per class x 3 classes
+    assert all(len(l.split()) == 3 and l.split()[2] == "0" for l in lines)
+
+    cfg = make_cfg(dataset_dir, tmp_path, method="finetune",
+                   data_source="fewshot", epochs=1, skip_stage2=True,
+                   no_wsft=True, no_tau=True, utrain=utrain_path)
+    pipe = SwatPipeline(cfg)
+    base = pipe._samples(cfg.train_split)
+    merged = pipe._train_samples(cfg)
+    assert len(merged) == len(base) + 30
+    acc, path, _ = pipe.run_stage1()
+    assert 0.0 <= acc <= 100.001
+
+
+def test_dataset_cls_proper_splits(dataset_dir, tmp_path):
+    """data_source=dataset-cls uses dedicated dataset_train/val/test.txt
+    with an empty base path (reference utils/parser.py:200-204) and
+    validates the source-flag head on the mixed val split."""
+    from swat_tpu.train.stages import SwatPipeline
+
+    root = os.path.join(dataset_dir, DATASET)
+    # absolute-path lines: 'path label is_fewshot'; the dataset head
+    # learns the is_fewshot flag (fewshot=1 vs retrieved=0)
+    fs = [l.split() for l in open(
+        os.path.join(root, "fewshot4_seed1.txt")).read().splitlines()]
+    rt = [l.split() for l in open(
+        os.path.join(root, "T2T30.txt")).read().splitlines()]
+
+    def lines(rows, flag):
+        return [f"{os.path.join(root, p)} {lab} {flag}"
+                for p, lab, _ in rows]
+
+    mixed = lines(fs, 1) + lines(rt, 0)
+    for name in ("dataset_train.txt", "dataset_val.txt",
+                 "dataset_test.txt"):
+        with open(os.path.join(root, name), "w") as f:
+            f.write("\n".join(mixed) + "\n")
+
+    cfg = make_cfg(dataset_dir, tmp_path, method="dataset-cls",
+                   data_source="dataset-cls", epochs=1,
+                   lr_classifier=1e-2, skip_stage2=True)
+    assert cfg.val_split == (["dataset_val.txt"], [""])
+    assert cfg.test_split == (["dataset_test.txt"], [""])
+    pipe = SwatPipeline(cfg)
+    state, best = pipe.train_method(cfg, pipe.params, pipe.head)
+    assert 0 <= best.val_acc <= 100.001

@@ -216,3 +216,33 @@ def test_init_matches_loaded_structure(model_and_params):
     init_shapes = jax.tree_util.tree_map(lambda x: x.shape, init_params)
     loaded_shapes = jax.tree_util.tree_map(lambda x: x.shape, params)
     assert init_shapes == loaded_shapes
+
+
+def test_convert_cli_synthetic(tmp_path):
+    """convert CLI: torch .pt -> msgpack bundle, verified round-trip, and
+    the loader accepts the converted bundle as --checkpoint_path."""
+    import torch
+
+    from swat_tpu.cli.convert import convert
+    from swat_tpu.models.configs import get_model_config
+    from swat_tpu.models.loader import load_torch_checkpoint
+
+    tiny = get_model_config("test_tiny")
+    sd_np = _random_torch_sd(np.random.default_rng(3), tiny)
+    sd_torch = {k: torch.from_numpy(np.asarray(v, np.float32))
+                for k, v in sd_np.items()}
+    src = str(tmp_path / "tiny.pt")
+    torch.save(sd_torch, src)
+
+    out = str(tmp_path / "tiny.msgpack")
+    report = convert(src, "test_tiny", out, verify=True)
+    assert report["roundtrip_mismatches"] == []
+
+    params, ls = load_torch_checkpoint(out, tiny.vision.layers,
+                                       tiny.text.layers)
+    direct, ls2 = load_torch_checkpoint(src, tiny.vision.layers,
+                                        tiny.text.layers)
+    assert abs(ls - ls2) < 1e-7
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(direct)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

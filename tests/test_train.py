@@ -290,3 +290,38 @@ def test_orbax_ckpt_roundtrip(tiny_model, rng, tmp_path):
     restored = load_train_ckpt_orbax(path, state2)
     np.testing.assert_array_equal(np.asarray(restored.head),
                                   np.asarray(state.head))
+
+
+def test_load_best_model_three_formats(tmp_path):
+    """Reference load_model's 3 checkpoint formats (testing.py:85-117)."""
+    from swat_tpu.train.checkpoint import load_best_model, save_bundle
+
+    rng_l = np.random.default_rng(0)
+    template = {"visual": {"w": rng_l.normal(size=(4, 4))},
+                "text": {"w": rng_l.normal(size=(4, 4))}}
+    head_t = rng_l.normal(size=(3, 4))
+
+    # format 2: visual-only (SupCon-style)
+    p2 = str(tmp_path / "visual_only.msgpack")
+    new_visual = {"w": rng_l.normal(size=(4, 4))}
+    save_bundle(p2, {"model": {"visual": new_visual}}, meta={"epoch": 7})
+    params, head, ls, meta = load_best_model(p2, template, head_t)
+    np.testing.assert_array_equal(params["visual"]["w"], new_visual["w"])
+    np.testing.assert_array_equal(params["text"]["w"], template["text"]["w"])
+    np.testing.assert_array_equal(head, head_t)
+    assert abs(ls - np.log(100.0)) < 1e-6
+
+    # format 3: tau-head only
+    p3 = str(tmp_path / "tau_only.msgpack")
+    tau_head = rng_l.normal(size=(3, 4))
+    save_bundle(p3, {"best_tau_head": {"w": tau_head}})
+    params, head, ls, _ = load_best_model(p3, template, head_t)
+    np.testing.assert_array_equal(head, tau_head)
+    np.testing.assert_array_equal(params["visual"]["w"],
+                                  template["visual"]["w"])
+
+    # unknown format errors
+    p4 = str(tmp_path / "junk.msgpack")
+    save_bundle(p4, {"something": {"x": np.zeros(2)}})
+    with pytest.raises(ValueError):
+        load_best_model(p4, template, head_t)
