@@ -73,17 +73,33 @@ class EvalLoader:
     def _load(self, s: Sample) -> np.ndarray:
         return eval_preprocess(load_image(s.path), self.n_px)
 
+    def _load_chunk(self, chunk, pool) -> np.ndarray:
+        """Normalized float32 pixels for a chunk — the native C++ decoder
+        when built (GIL-free JPEG decode + PIL-parity bicubic,
+        data/native/decoder.cpp), PIL threads otherwise."""
+        from swat_tpu.data import native
+        from swat_tpu.kernels.augment import normalize
+
+        if native.available():
+            u8 = native.batch_eval_pixels([s.path for s in chunk],
+                                          self.n_px, self.num_workers)
+            return np.asarray(normalize(u8))
+        return np.stack(list(pool.map(self._load, chunk))).astype(
+            np.float32)
+
     def _batches(self) -> Iterator[Dict[str, np.ndarray]]:
         bs = self.batch_size
         with cf.ThreadPoolExecutor(self.num_workers) as pool:
             for start in range(0, len(self.samples), bs):
                 chunk = self.samples[start: start + bs]
-                images = list(pool.map(self._load, chunk))
+                images = self._load_chunk(chunk, pool)
                 n = len(chunk)
                 if n < bs:  # pad with zeros, masked out
-                    images += [np.zeros_like(images[0])] * (bs - n)
+                    images = np.concatenate(
+                        [images, np.zeros((bs - n,) + images.shape[1:],
+                                          images.dtype)])
                 batch = {
-                    "images": np.stack(images).astype(np.float32),
+                    "images": images,
                     "labels": np.array(
                         [s.label for s in chunk] + [0] * (bs - n), np.int32),
                     "source": np.array(
@@ -146,10 +162,20 @@ class TrainLoader:
                                        np.int32),
                 }
                 if self.mode == "canvas":
-                    loaded = list(pool.map(self._load_canvas, chunk))
-                    batch["canvases"] = np.stack([c for c, _ in loaded])
-                    batch["valid_hw"] = np.array(
-                        [hw for _, hw in loaded], np.int32)
+                    from swat_tpu.data import native
+
+                    if native.available():
+                        canvases, valid_hw = native.batch_train_canvases(
+                            [s.path for s in chunk], self.canvas,
+                            self.num_workers)
+                        batch["canvases"] = canvases
+                        batch["valid_hw"] = valid_hw
+                    else:
+                        loaded = list(pool.map(self._load_canvas, chunk))
+                        batch["canvases"] = np.stack(
+                            [c for c, _ in loaded])
+                        batch["valid_hw"] = np.array(
+                            [hw for _, hw in loaded], np.int32)
                 else:
                     seeds = self._rng.integers(2 ** 63, size=len(chunk))
                     images = list(pool.map(self._load_host_aug,

@@ -48,17 +48,23 @@ class ResidentData:
     @classmethod
     def from_samples(cls, samples, canvas: int = CANVAS_SIZE,
                      num_workers: int = 16, sharding=None):
-        import concurrent.futures as cf
+        from swat_tpu.data import native
 
-        from swat_tpu.data.transforms import load_image, train_canvas
+        if native.available():
+            canvases, valid_hw = native.batch_train_canvases(
+                [s.path for s in samples], canvas, num_workers)
+        else:
+            import concurrent.futures as cf
 
-        def load(s: Sample):
-            return train_canvas(load_image(s.path), canvas)
+            from swat_tpu.data.transforms import load_image, train_canvas
 
-        with cf.ThreadPoolExecutor(num_workers) as pool:
-            loaded = list(pool.map(load, samples))
-        canvases = np.stack([c for c, _ in loaded])
-        valid_hw = np.asarray([hw for _, hw in loaded], np.int32)
+            def load(s: Sample):
+                return train_canvas(load_image(s.path), canvas)
+
+            with cf.ThreadPoolExecutor(num_workers) as pool:
+                loaded = list(pool.map(load, samples))
+            canvases = np.stack([c for c, _ in loaded])
+            valid_hw = np.asarray([hw for _, hw in loaded], np.int32)
         labels = np.asarray([s.label for s in samples], np.int32)
         source = np.asarray([s.is_fewshot for s in samples], np.int32)
         put = (lambda x: jax.device_put(x, sharding)) if sharding \
@@ -235,25 +241,31 @@ class ResidentEval:
     def from_samples(cls, samples, num_classes: int, n_px: int = 224,
                      batch_size: int = 256, num_workers: int = 16,
                      sharding=None):
-        import concurrent.futures as cf
+        from swat_tpu.data import native
 
-        from swat_tpu.data.transforms import load_image
-        from PIL import Image
+        if native.available():
+            images = list(native.batch_eval_pixels(
+                [s.path for s in samples], n_px, num_workers))
+        else:
+            import concurrent.futures as cf
 
-        def load(s: Sample):
-            img = load_image(s.path)
-            w, h = img.size
-            if w < h:
-                nw, nh = n_px, max(n_px, round(h * n_px / w))
-            else:
-                nw, nh = max(n_px, round(w * n_px / h)), n_px
-            img = img.resize((nw, nh), Image.BICUBIC)
-            left, top = (nw - n_px) // 2, (nh - n_px) // 2
-            img = img.crop((left, top, left + n_px, top + n_px))
-            return np.asarray(img, np.uint8)
+            from swat_tpu.data.transforms import load_image
+            from PIL import Image
 
-        with cf.ThreadPoolExecutor(num_workers) as pool:
-            images = list(pool.map(load, samples))
+            def load(s: Sample):
+                img = load_image(s.path)
+                w, h = img.size
+                if w < h:
+                    nw, nh = n_px, max(n_px, round(h * n_px / w))
+                else:
+                    nw, nh = max(n_px, round(w * n_px / h)), n_px
+                img = img.resize((nw, nh), Image.BICUBIC)
+                left, top = (nw - n_px) // 2, (nh - n_px) // 2
+                img = img.crop((left, top, left + n_px, top + n_px))
+                return np.asarray(img, np.uint8)
+
+            with cf.ThreadPoolExecutor(num_workers) as pool:
+                images = list(pool.map(load, samples))
         n = len(images)
         pad = (-n) % batch_size
         if pad:
