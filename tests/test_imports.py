@@ -11,8 +11,8 @@ def test_all_modules_import():
     failures = []
     for mod in pkgutil.walk_packages(swat_tpu.__path__,
                                      prefix="swat_tpu."):
-        if "libcaptionindex" in mod.name:  # ctypes .so, not a py module
-            continue
+        if "libcaptionindex" in mod.name or "libswatdecoder" in mod.name:
+            continue  # ctypes .so files, not python modules
         try:
             importlib.import_module(mod.name)
         except Exception as e:  # noqa: BLE001
