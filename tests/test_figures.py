@@ -1,0 +1,89 @@
+"""Analysis figures/tables (swat_tpu/analysis/figures.py vs the reference
+plots_tables scripts)."""
+
+import json
+import os
+
+import numpy as np
+
+from swat_tpu.analysis.figures import (
+    class_counts_from_split,
+    collect_stage_accs,
+    head_tail_accuracy,
+    head_weight_norms,
+    plot_loss_curves,
+    plot_retrieved_distribution,
+    plot_weight_norms,
+    retrieved_distribution,
+    stagewise_head_tail_row,
+)
+
+
+def _scores(per_class_recall, acc):
+    return {"acc": acc,
+            "per_class_recall": {str(i): r
+                                 for i, r in enumerate(per_class_recall)}}
+
+
+def test_head_tail_split_semantics(tmp_path):
+    """Head = top 90% classes by retrieved count, tail = rest (reference
+    get_head_tail_acc.py:183-194)."""
+    # 10 classes: class 9 has the fewest retrieved images -> tail
+    counts = {str(c): 100 - c for c in range(10)}
+    recall = [1.0] * 9 + [0.0]  # tail class has recall 0
+    ht = head_tail_accuracy(_scores(recall, acc=0.9), counts)
+    assert ht["head_acc"] == 100.0
+    assert ht["tail_acc"] == 0.0
+    assert ht["overall_acc"] == 90.0
+
+
+def test_class_counts_and_distribution(tmp_path):
+    p = tmp_path / "T2T.txt"
+    p.write_text("a.jpg 0 0\nb.jpg 0 0\nc.jpg 1 0\nd.jpg 2 0\ne.jpg 2 0\n"
+                 "f.jpg 2 0\n")
+    counts = class_counts_from_split(str(p))
+    assert counts == {"0": 2, "1": 1, "2": 3}
+    vec = retrieved_distribution(str(p), 4)
+    assert vec.tolist() == [3, 2, 1, 0]
+    out = str(tmp_path / "dist.png")
+    plot_retrieved_distribution(str(p), 4, out)
+    assert os.path.getsize(out) > 0
+
+
+def test_stagewise_row_and_table(tmp_path):
+    run = tmp_path / "output_x" / "case"
+    os.makedirs(run)
+    json.dump(_scores([0.5, 1.0], 0.75),
+              open(run / "stage1_test_scores.json", "w"))
+    json.dump(_scores([1.0, 1.0], 1.0),
+              open(run / "stage2_test_scores.json", "w"))
+    counts = {"0": 5, "1": 1}
+    row = stagewise_head_tail_row(str(run), counts)
+    assert row["stage1_head_acc"] == 50.0  # head = class 0 (90% of 2 -> 1)
+    assert row["stage1_tail_acc"] == 100.0
+    assert row["stage2_overall_acc"] == 100.0
+
+    rows = collect_stage_accs(str(tmp_path))
+    assert rows == [{"run": "case", "stage1_acc": 75.0,
+                     "stage2_acc": 100.0}]
+
+
+def test_loss_curves_and_norm_plot(tmp_path):
+    csv_path = tmp_path / "loss.csv"
+    csv_path.write_text(
+        "Epoch,Iter,Train_loss,Val_loss,Val_acc,Test_acc\n"
+        "1,10,2.0,1.9,40.0,41.0\n2,20,1.5,1.6,50.0,52.0\n")
+    out = str(tmp_path / "loss.png")
+    cols = plot_loss_curves(str(csv_path), out)
+    assert cols["Train_loss"].tolist() == [2.0, 1.5]
+    assert os.path.getsize(out) > 0
+
+    head = np.asarray([[3.0, 4.0], [1.0, 0.0]])  # norms 5, 1
+    norms = head_weight_norms(head)
+    np.testing.assert_allclose(norms, [5.0, 1.0])
+    # sorted by descending count: class 1 has more data -> first
+    sorted_norms = head_weight_norms(head, {"0": 1, "1": 9})
+    np.testing.assert_allclose(sorted_norms, [1.0, 5.0])
+    out2 = str(tmp_path / "norms.png")
+    plot_weight_norms(norms, norms, "test", out2)
+    assert os.path.getsize(out2) > 0
