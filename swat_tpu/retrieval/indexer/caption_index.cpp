@@ -19,9 +19,13 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <fcntl.h>
 #include <fstream>
 #include <sstream>
 #include <string>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
 #include <unordered_map>
 #include <vector>
 
@@ -31,6 +35,28 @@ struct Index {
   std::vector<std::vector<int32_t>> caption_tokens;  // token ids per caption
   std::unordered_map<std::string, int32_t> vocab;
   std::vector<std::vector<int64_t>> postings;  // token id -> caption ids
+};
+
+// Memory-mapped flat index (format v2): tokens sorted lexicographically so
+// lookup is a binary search over the blob — no hash rebuild at load time,
+// and the OS pages postings in lazily (cold "load" is one mmap syscall;
+// a 400M-caption shard set opens instantly).
+struct FlatIndex {
+  void* map = nullptr;
+  size_t len = 0;
+  int64_t n_captions = 0, n_tokens = 0;
+  const int64_t* cap_off = nullptr;   // [n_captions+1] counts into cap_tok
+  const int32_t* cap_tok = nullptr;   // flattened per-caption token ids
+  const int64_t* vocab_off = nullptr; // [n_tokens+1] byte offsets
+  const char* vocab_blob = nullptr;
+  const int64_t* post_off = nullptr;  // [n_tokens+1] counts into postings
+  const int64_t* postings = nullptr;
+  ~FlatIndex() { if (map) munmap(map, len); }
+};
+
+struct Handle {
+  Index* mem = nullptr;
+  FlatIndex* flat = nullptr;
 };
 
 inline void tokenize(const std::string& text, std::vector<std::string>* out) {
@@ -109,24 +135,92 @@ extern "C" {
 void* idx_build_file(const char* path) {
   std::ifstream in(path);
   if (!in.good()) return nullptr;
-  return build(in);
+  auto* handle = new Handle();
+  handle->mem = build(in);
+  return handle;
 }
 
 void* idx_build_buffer(const char* buf, long n) {
   std::string s(buf, static_cast<size_t>(n));
   std::istringstream in(s);
-  return build(in);
+  auto* handle = new Handle();
+  handle->mem = build(in);
+  return handle;
 }
 
 long idx_num_captions(void* h) {
-  return static_cast<long>(static_cast<Index*>(h)->caption_tokens.size());
+  auto* handle = static_cast<Handle*>(h);
+  if (handle->flat) return static_cast<long>(handle->flat->n_captions);
+  return static_cast<long>(handle->mem->caption_tokens.size());
 }
 
+namespace {
+
+// binary search a token in the sorted vocab blob; -1 if absent
+int64_t flat_find(const FlatIndex& f, const std::string& tok) {
+  int64_t lo = 0, hi = f.n_tokens - 1;
+  while (lo <= hi) {
+    int64_t mid = (lo + hi) / 2;
+    const char* s = f.vocab_blob + f.vocab_off[mid];
+    size_t len = size_t(f.vocab_off[mid + 1] - f.vocab_off[mid]);
+    int c = std::memcmp(s, tok.data(), std::min(len, tok.size()));
+    if (c == 0) c = (len < tok.size()) ? -1 : (len > tok.size() ? 1 : 0);
+    if (c == 0) return mid;
+    if (c < 0) lo = mid + 1; else hi = mid - 1;
+  }
+  return -1;
+}
+
+long flat_query(const FlatIndex& f, const std::vector<std::string>& toks,
+                int phrase, long* out, long cap) {
+  std::vector<int32_t> tids;
+  std::vector<std::pair<const int64_t*, int64_t>> lists;
+  for (const auto& t : toks) {
+    int64_t pos = flat_find(f, t);
+    if (pos < 0) return 0;
+    tids.push_back(static_cast<int32_t>(pos));
+    lists.emplace_back(f.postings + f.post_off[pos],
+                       f.post_off[pos + 1] - f.post_off[pos]);
+  }
+  std::sort(lists.begin(), lists.end(),
+            [](const auto& a, const auto& b) { return a.second < b.second; });
+  std::vector<int64_t> result(lists[0].first, lists[0].first + lists[0].second);
+  std::vector<int64_t> tmp;
+  for (size_t i = 1; i < lists.size() && !result.empty(); ++i) {
+    tmp.clear();
+    std::set_intersection(result.begin(), result.end(), lists[i].first,
+                          lists[i].first + lists[i].second,
+                          std::back_inserter(tmp));
+    result.swap(tmp);
+  }
+  long n = 0;
+  for (int64_t cid : result) {
+    if (phrase && toks.size() > 1) {
+      const int32_t* hay = f.cap_tok + f.cap_off[cid];
+      int64_t hn = f.cap_off[cid + 1] - f.cap_off[cid];
+      bool ok = false;
+      for (int64_t i = 0; i + int64_t(tids.size()) <= hn && !ok; ++i) {
+        ok = true;
+        for (size_t j = 0; j < tids.size(); ++j)
+          if (hay[i + j] != tids[j]) { ok = false; break; }
+      }
+      if (!ok) continue;
+    }
+    if (n < cap) out[n] = cid;
+    ++n;
+  }
+  return n;
+}
+
+}  // namespace
+
 long idx_query(void* h, const char* query, int phrase, long* out, long cap) {
-  auto* idx = static_cast<Index*>(h);
+  auto* handle = static_cast<Handle*>(h);
   std::vector<std::string> toks;
   tokenize(normalize(query), &toks);
   if (toks.empty()) return 0;
+  if (handle->flat) return flat_query(*handle->flat, toks, phrase, out, cap);
+  auto* idx = handle->mem;
 
   std::vector<int32_t> tids;
   std::vector<const std::vector<int64_t>*> lists;
@@ -159,50 +253,102 @@ long idx_query(void* h, const char* query, int phrase, long* out, long cap) {
   return n;
 }
 
-void idx_free(void* h) { delete static_cast<Index*>(h); }
+void idx_free(void* h) {
+  auto* handle = static_cast<Handle*>(h);
+  delete handle->mem;
+  delete handle->flat;
+  delete handle;
+}
 
-// --- persistence: build once over a corpus, reload instantly -------------
-// binary format: magic | n_captions | n_tokens | per-caption token lists |
-// vocab strings (id order) | postings lists
+// --- persistence -----------------------------------------------------------
+// v2 (current): flat memory-mappable layout, tokens sorted so queries
+// binary-search the blob directly — load is one mmap() regardless of size.
+// v1 (legacy): length-prefixed vectors + hash rebuild; still readable.
 
-static constexpr uint64_t kMagic = 0x53574154494458ULL;  // "SWATIDX"
+static constexpr uint64_t kMagic = 0x53574154494458ULL;   // v1 "SWATIDX"
+static constexpr uint64_t kMagic2 = 0x5357415449445832ULL; // v2 "SWATIDX2"
+
+namespace {
+
+inline uint64_t pad8(uint64_t n) { return (n + 7) & ~uint64_t(7); }
+
+void put_raw(std::ofstream& out, const void* p, size_t n) {
+  out.write(reinterpret_cast<const char*>(p), n);
+  static const char zeros[8] = {0};
+  if (n % 8) out.write(zeros, 8 - n % 8);
+}
+
+}  // namespace
 
 long idx_save(void* h, const char* path) {
-  auto* idx = static_cast<Index*>(h);
+  auto* handle = static_cast<Handle*>(h);
+  if (!handle->mem) return -1;  // mmap'd indexes are already on disk
+  auto* idx = handle->mem;
+  const int64_t n_cap = int64_t(idx->caption_tokens.size());
+  const int64_t n_tok = int64_t(idx->vocab.size());
+
+  // sort tokens; remap old id -> sorted position
+  std::vector<const std::string*> by_id(n_tok);
+  for (const auto& kv : idx->vocab) by_id[kv.second] = &kv.first;
+  std::vector<int32_t> order(n_tok);
+  for (int32_t i = 0; i < n_tok; ++i) order[i] = i;
+  std::sort(order.begin(), order.end(), [&](int32_t a, int32_t b) {
+    return *by_id[a] < *by_id[b];
+  });
+  std::vector<int32_t> remap(n_tok);
+  for (int32_t pos = 0; pos < n_tok; ++pos) remap[order[pos]] = pos;
+
   std::ofstream out(path, std::ios::binary);
   if (!out.good()) return -1;
-  auto put64 = [&](uint64_t v) { out.write(reinterpret_cast<char*>(&v), 8); };
-  put64(kMagic);
-  put64(idx->caption_tokens.size());
-  put64(idx->vocab.size());
-  for (const auto& toks : idx->caption_tokens) {
-    put64(toks.size());
-    out.write(reinterpret_cast<const char*>(toks.data()),
-              toks.size() * sizeof(int32_t));
+  auto put64 = [&](int64_t v) { out.write(reinterpret_cast<char*>(&v), 8); };
+  put64(int64_t(kMagic2));
+  put64(n_cap);
+  put64(n_tok);
+
+  // caption token lists (remapped ids), offsets then flat array
+  std::vector<int64_t> cap_off(n_cap + 1, 0);
+  for (int64_t i = 0; i < n_cap; ++i)
+    cap_off[i + 1] = cap_off[i] + int64_t(idx->caption_tokens[i].size());
+  put_raw(out, cap_off.data(), cap_off.size() * 8);
+  {
+    std::vector<int32_t> flat;
+    flat.reserve(size_t(cap_off[n_cap]));
+    for (const auto& toks : idx->caption_tokens)
+      for (int32_t t : toks) flat.push_back(remap[t]);
+    put_raw(out, flat.data(), flat.size() * 4);
   }
-  std::vector<const std::string*> by_id(idx->vocab.size());
-  for (const auto& kv : idx->vocab) by_id[kv.second] = &kv.first;
-  for (const auto* s : by_id) {
-    put64(s->size());
-    out.write(s->data(), s->size());
+
+  // sorted vocab blob
+  std::vector<int64_t> voc_off(n_tok + 1, 0);
+  for (int64_t i = 0; i < n_tok; ++i)
+    voc_off[i + 1] = voc_off[i] + int64_t(by_id[order[i]]->size());
+  put_raw(out, voc_off.data(), voc_off.size() * 8);
+  {
+    std::string blob;
+    blob.reserve(size_t(voc_off[n_tok]));
+    for (int64_t i = 0; i < n_tok; ++i) blob += *by_id[order[i]];
+    put_raw(out, blob.data(), blob.size());
   }
-  for (const auto& plist : idx->postings) {
-    put64(plist.size());
-    out.write(reinterpret_cast<const char*>(plist.data()),
-              plist.size() * sizeof(int64_t));
-  }
+
+  // postings in sorted-token order
+  std::vector<int64_t> post_off(n_tok + 1, 0);
+  for (int64_t i = 0; i < n_tok; ++i)
+    post_off[i + 1] = post_off[i] + int64_t(idx->postings[order[i]].size());
+  put_raw(out, post_off.data(), post_off.size() * 8);
+  for (int64_t i = 0; i < n_tok; ++i)
+    put_raw(out, idx->postings[order[i]].data(),
+            idx->postings[order[i]].size() * 8);
   return out.good() ? 0 : -1;
 }
 
-void* idx_load(const char* path) {
-  std::ifstream in(path, std::ios::binary);
-  if (!in.good()) return nullptr;
+namespace {
+
+void* load_v1(std::ifstream& in) {
   auto get64 = [&]() {
     uint64_t v = 0;
     in.read(reinterpret_cast<char*>(&v), 8);
     return v;
   };
-  if (get64() != kMagic) return nullptr;
   auto* idx = new Index();
   const uint64_t n_cap = get64();
   const uint64_t n_tok = get64();
@@ -227,7 +373,54 @@ void* idx_load(const char* path) {
     delete idx;
     return nullptr;
   }
-  return idx;
+  auto* handle = new Handle();
+  handle->mem = idx;
+  return handle;
+}
+
+}  // namespace
+
+void* idx_load(const char* path) {
+  // peek magic
+  uint64_t magic = 0;
+  {
+    std::ifstream in(path, std::ios::binary);
+    if (!in.good()) return nullptr;
+    in.read(reinterpret_cast<char*>(&magic), 8);
+    if (magic == kMagic) return load_v1(in);
+    if (magic != kMagic2) return nullptr;
+  }
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return nullptr;
+  struct stat st;
+  if (fstat(fd, &st) != 0) { close(fd); return nullptr; }
+  void* map = mmap(nullptr, size_t(st.st_size), PROT_READ, MAP_SHARED, fd, 0);
+  close(fd);  // mapping keeps the file alive
+  if (map == MAP_FAILED) return nullptr;
+
+  auto* f = new FlatIndex();
+  f->map = map;
+  f->len = size_t(st.st_size);
+  const char* p = static_cast<const char*>(map);
+  auto read64 = [&]() { int64_t v; std::memcpy(&v, p, 8); p += 8; return v; };
+  read64();  // magic
+  f->n_captions = read64();
+  f->n_tokens = read64();
+  f->cap_off = reinterpret_cast<const int64_t*>(p);
+  p += pad8(uint64_t(f->n_captions + 1) * 8);
+  f->cap_tok = reinterpret_cast<const int32_t*>(p);
+  p += pad8(uint64_t(f->cap_off[f->n_captions]) * 4);
+  f->vocab_off = reinterpret_cast<const int64_t*>(p);
+  p += pad8(uint64_t(f->n_tokens + 1) * 8);
+  f->vocab_blob = p;
+  p += pad8(uint64_t(f->vocab_off[f->n_tokens]));
+  f->post_off = reinterpret_cast<const int64_t*>(p);
+  p += pad8(uint64_t(f->n_tokens + 1) * 8);
+  f->postings = reinterpret_cast<const int64_t*>(p);
+
+  auto* handle = new Handle();
+  handle->flat = f;
+  return handle;
 }
 
 }  // extern "C"
