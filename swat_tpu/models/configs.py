@@ -90,6 +90,9 @@ MODEL_REGISTRY = {
     "vitb16_clip": _vit("ViT-B/16", 16, 768, 12, 12, 512, True),
     "vitb32_openclip_openai": _vit("ViT-B-32-quickgelu", 32, 768, 12, 12, 512, True),
     "vitb16_openclip_openai": _vit("ViT-B-16", 16, 768, 12, 12, 512, True),
+    "vitl14_openclip_openai": _vit(
+        "ViT-L-14", 14, 1024, 24, 16, 768, True,
+        text_width=768, text_heads=12, text_layers=12),
 }
 
 def _rn50(name):
