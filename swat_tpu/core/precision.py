@@ -27,6 +27,10 @@ class Precision:
     # LayerNorm variance: one-pass E[x^2]-E[x]^2 (fast, fp32-accumulated)
     # for the throughput policy; exact two-pass for the fp32 parity policy.
     ln_fast_variance: bool = True
+    # attention softmax storage dtype: bf16 halves the score-tensor HBM
+    # traffic (measured 72.0 -> 67.9 ms/step on the ViT-B/32 cutmix step);
+    # the fp32 parity policy keeps fp32 softmax.
+    softmax_dtype: jnp.dtype = jnp.bfloat16
 
     def cast(self, x):
         return x.astype(self.compute_dtype)
@@ -35,4 +39,5 @@ class Precision:
 DEFAULT_PRECISION = Precision()
 FP32_PRECISION = Precision(compute_dtype=jnp.float32,
                            matmul_precision="highest",
-                           ln_fast_variance=False)
+                           ln_fast_variance=False,
+                           softmax_dtype=jnp.float32)

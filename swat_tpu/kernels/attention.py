@@ -45,21 +45,31 @@ def _attention_xla(q, k, v, *, causal: bool, accum_dtype=jnp.float32,
 
 def attention_heads_last(q, k, v, *, causal: bool,
                          accum_dtype=jnp.float32,
-                         matmul_precision="default"):
+                         matmul_precision="default",
+                         softmax_dtype=jnp.float32):
     """Transpose-free layout: q,k,v [B, S, H, D] -> out [B, S, H, D].
     The head axis stays in place; XLA contracts directly without the
-    explicit [B,H,S,D] relayouts."""
+    explicit [B,H,S,D] relayouts.
+
+    softmax_dtype: storage dtype of the score tensor through the softmax.
+    bf16 halves the dominant HBM traffic of this op (the [B,H,S,S] scores)
+    at ~1e-3 relative probability error over these short sequences; fp32
+    is the reference-parity setting."""
     dim = q.shape[-1]
     scale = 1.0 / (dim ** 0.5)
     scores = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k, precision=matmul_precision,
-        preferred_element_type=accum_dtype)
-    scores = scores.astype(jnp.float32) * scale
+        preferred_element_type=softmax_dtype)
+    scores = scores.astype(softmax_dtype) * jnp.asarray(
+        scale, softmax_dtype)
     if causal:
         s = q.shape[1]
         mask = jnp.tril(jnp.ones((s, s), dtype=bool))
-        scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
-    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        scores = jnp.where(mask, scores,
+                           jnp.asarray(-3e38, softmax_dtype))
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    probs = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(q.dtype)
     out = jnp.einsum(
         "bhqk,bkhd->bqhd", probs, v, precision=matmul_precision,
         preferred_element_type=accum_dtype)

@@ -85,7 +85,8 @@ def _block(p, x, heads: int, quick_gelu: bool, causal: bool,
         attn = attention_heads_last(
             heads_last(q), heads_last(k), heads_last(v), causal=causal,
             accum_dtype=precision.accum_dtype,
-            matmul_precision=precision.matmul_precision).reshape(b, s, d)
+            matmul_precision=precision.matmul_precision,
+            softmax_dtype=precision.softmax_dtype).reshape(b, s, d)
     x = x + _dense(p["attn"]["out"], attn, precision)
 
     h = _layer_norm(p["ln_2"]["ln"], x, precision)

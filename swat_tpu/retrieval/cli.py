@@ -116,6 +116,29 @@ def cmd_filter_synonyms(args):
     print(f"Wrote {args.output}")
 
 
+def cmd_check_metrics(args):
+    """Sanity checks on a metrics json (reference check_metric_file.py:
+    every class name must appear among its alternates) + canonical
+    reformatting (format_metrics.py: int-key sort, indent 4)."""
+    with open(args.metrics) as f:
+        metrics = json.load(f)
+    problems = 0
+    for key, value in metrics.items():
+        name = str(value.get("name", "")).lower()
+        alts = value.get("alternates", {})
+        alt_set = {a.lower() for a in (alts if isinstance(alts, dict)
+                                       else list(alts))}
+        if name and name not in alt_set:
+            print(f"{key}: {name} not in alternates")
+            problems += 1
+    if args.reformat:
+        ordered = dict(sorted(((int(k), v) for k, v in metrics.items())))
+        with open(args.metrics, "w") as f:
+            json.dump(ordered, f, indent=4)
+        print(f"Done reformatting {args.metrics}!")
+    print(f"{problems} problem(s) in {len(metrics)} classes")
+
+
 def cmd_stringmatch(args):
     from swat_tpu.retrieval.indexer import make_index
     from swat_tpu.retrieval.stringmatch import match_all_classes
@@ -274,6 +297,11 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="swat-tpu retrieval pipeline")
     sub = p.add_subparsers(dest="cmd", required=True)
 
+    ck = sub.add_parser("check-metrics")
+    ck.add_argument("--metrics", required=True)
+    ck.add_argument("--reformat", action="store_true",
+                    help="sort by int key and rewrite with indent=4")
+
     fs = sub.add_parser("filter-synonyms")
     fs.add_argument("--synonyms", required=True,
                     help="{class: {'query_name', 'synonyms': {...}}} json")
@@ -358,7 +386,8 @@ def main(argv=None):
     {"stringmatch": cmd_stringmatch, "captionmap": cmd_captionmap,
      "extract": cmd_extract, "sample": cmd_sample, "ingest": cmd_ingest,
      "make-urls": cmd_make_urls,
-     "filter-synonyms": cmd_filter_synonyms}[args.cmd](args)
+     "filter-synonyms": cmd_filter_synonyms,
+     "check-metrics": cmd_check_metrics}[args.cmd](args)
 
 
 if __name__ == "__main__":

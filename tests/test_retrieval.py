@@ -224,3 +224,24 @@ def test_native_index_save_load(tmp_path):
         np.testing.assert_array_equal(
             np.sort(idx.query(q, phrase)), np.sort(idx2.query(q, phrase)),
             err_msg=q)
+
+
+def test_check_metrics_cli(tmp_path, capsys):
+    """check-metrics subcommand (reference check_metric_file.py +
+    format_metrics.py)."""
+    import json
+
+    from swat_tpu.retrieval.cli import main as cli_main
+
+    m = {"1": {"name": "Cat", "alternates": {"cat": 2, "kitty": 1}},
+         "0": {"name": "dog", "alternates": {"puppy": 1}}}
+    p = tmp_path / "metrics.json"
+    p.write_text(json.dumps(m))
+    cli_main(["check-metrics", "--metrics", str(p), "--reformat"])
+    out = capsys.readouterr().out
+    assert "0: dog not in alternates" in out
+    assert "1 problem(s) in 2 classes" in out
+    # reformatted: int-key sorted, indented
+    text = p.read_text()
+    assert text.index('"0"') < text.index('"1"')
+    assert "    " in text
