@@ -84,12 +84,14 @@ def bench_embed_and_topk():
     tokens = jax.device_put(
         rng.integers(1, 49000, (B, 77)).astype(np.int32))
 
+    from swat_tpu.models import functional as F
+
     @jax.jit
     def encode(params, tokens):
         def body(c, i):
             t = jnp.where(tokens == 0, i.astype(jnp.int32), tokens)
-            f = model.apply({"params": params}, t, True,
-                            method=CLIPModel.encode_text)
+            f = F.encode_text(model, params, t, normalize=True,
+                              mode="infer")
             return c + f.mean(), None
         s, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(K))
         return s

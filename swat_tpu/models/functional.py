@@ -180,9 +180,13 @@ def _pick_pallas(model, mode: str) -> bool:
     packed-attention *forward* beats XLA by ~27% (21.7 vs 27.5 ms/step
     fwd-only @ bsz 256 ViT-B/32), but every fused *backward* variant loses
     to XLA's autodiff at these tiny (S=50) shapes.  So inference paths use
-    the kernel on TPU; training uses XLA unless explicitly flagged."""
+    the kernel on single-chip TPU; training uses XLA unless explicitly
+    flagged.  Multi-device runs stay on XLA automatically — pallas_call
+    does not auto-partition under GSPMD, so batch-sharded eval would
+    otherwise force a gather (or fail) on a mesh."""
     if mode == "infer":
-        return model.use_pallas or jax.default_backend() == "tpu"
+        return model.use_pallas or (jax.default_backend() == "tpu"
+                                    and jax.device_count() == 1)
     return model.use_pallas
 
 
