@@ -37,24 +37,17 @@ NSFW_NAMES = {v: k for k, v in NSFW_CODES.items()}
 NSFW_NAMES[3] = ""
 
 
-def _pack_strings(strings: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
-    """-> (uint8 blob, int64 offsets[n+1]); lookup i = blob[off[i]:off[i+1]]."""
-    encoded = [s.encode("utf-8", errors="replace") for s in strings]
-    offsets = np.zeros(len(encoded) + 1, np.int64)
-    np.cumsum([len(e) for e in encoded], out=offsets[1:])
-    blob = np.frombuffer(b"".join(encoded), np.uint8)
-    return blob, offsets
-
-
 def _unpack_string(blob: np.ndarray, offsets: np.ndarray, i: int) -> str:
     return blob[offsets[i]: offsets[i + 1]].tobytes().decode(
         "utf-8", errors="replace")
 
 
-def _read_rows(path: str, text_col: str, url_col: str, nsfw_col: str
-               ) -> Tuple[List[str], List[str], List[str]]:
-    """One metadata shard -> (texts, urls, nsfw). Parquet via pyarrow;
-    .jsonl/.json accepted for tests and non-parquet exports."""
+def _iter_rows(path: str, text_col: str, url_col: str, nsfw_col: str):
+    """One metadata shard -> batches of (texts, urls, nsfw).
+
+    Parquet streams by row group (pyarrow iter_batches) so a shard never
+    has to fit in memory twice; .jsonl/.json accepted for tests and
+    non-parquet exports."""
     if path.endswith((".jsonl", ".json")):
         texts, urls, nsfw = [], [], []
         with open(path) as f:
@@ -66,20 +59,26 @@ def _read_rows(path: str, text_col: str, url_col: str, nsfw_col: str
                 texts.append(row.get(text_col) or "")
                 urls.append(row.get(url_col) or "")
                 nsfw.append(row.get(nsfw_col) or "")
-        return texts, urls, nsfw
+        yield texts, urls, nsfw
+        return
     import pyarrow.parquet as pq
 
-    table = pq.read_table(path)
-    cols = {c.lower(): c for c in table.column_names}
+    pf = pq.ParquetFile(path)
+    cols = {c.lower(): c for c in pf.schema_arrow.names}
 
-    def col(name, default=""):
+    def col(batch, name, default=""):
         c = cols.get(name.lower())
         if c is None:
-            return [default] * table.num_rows
+            return [default] * batch.num_rows
         return [v if v is not None else default
-                for v in table.column(c).to_pylist()]
+                for v in batch.column(c).to_pylist()]
 
-    return col(text_col), col(url_col), col(nsfw_col)
+    wanted = [cols[n.lower()] for n in (text_col, url_col, nsfw_col)
+              if n.lower() in cols]
+    for batch in pf.iter_batches(batch_size=262_144,
+                                 columns=wanted or None):
+        yield (col(batch, text_col), col(batch, url_col),
+               col(batch, nsfw_col))
 
 
 def ingest_shards(inputs: Sequence[str], out_dir: str, *,
@@ -101,25 +100,50 @@ def ingest_shards(inputs: Sequence[str], out_dir: str, *,
 
     counts: List[int] = []
     for i, path in enumerate(paths):
-        texts, urls, nsfw = _read_rows(path, text_col, url_col, nsfw_col)
-        norm = [normalize_caption(t).replace("\n", " ") for t in texts]
         cap_file = os.path.join(out_dir, f"captions_{i:05d}.txt")
+        url_parts: List[bytes] = []
+        cap_parts: List[bytes] = []
+        url_lens: List[int] = []
+        cap_lens: List[int] = []
+        nsfw_codes_parts: List[np.ndarray] = []
+        n_rows = 0
         with open(cap_file, "w") as f:
-            f.write("\n".join(norm) + ("\n" if norm else ""))
+            for texts, urls, nsfw in _iter_rows(path, text_col, url_col,
+                                                nsfw_col):
+                norm = [normalize_caption(t).replace("\n", " ")
+                        for t in texts]
+                if norm:
+                    f.write("\n".join(norm) + "\n")
+                for u in urls:
+                    b = u.encode("utf-8", errors="replace")
+                    url_parts.append(b)
+                    url_lens.append(len(b))
+                for c in norm:
+                    b = c.encode("utf-8", errors="replace")
+                    cap_parts.append(b)
+                    cap_lens.append(len(b))
+                nsfw_codes_parts.append(np.asarray(
+                    [NSFW_CODES.get(s, 3) for s in nsfw], np.uint8))
+                n_rows += len(norm)
 
         if build_index:
             _build_shard_index(cap_file,
                                os.path.join(out_dir, f"index_{i:05d}.bin"),
                                prefer_native)
 
-        url_blob, url_off = _pack_strings(urls)
-        cap_blob, cap_off = _pack_strings(norm)
-        nsfw_codes = np.asarray([NSFW_CODES.get(s, 3) for s in nsfw],
-                                np.uint8)
+        def offsets_of(lens):
+            off = np.zeros(len(lens) + 1, np.int64)
+            np.cumsum(lens, out=off[1:])
+            return off
+
         np.savez(os.path.join(out_dir, f"meta_{i:05d}.npz"),
-                 url_blob=url_blob, url_off=url_off,
-                 cap_blob=cap_blob, cap_off=cap_off, nsfw=nsfw_codes)
-        counts.append(len(norm))
+                 url_blob=np.frombuffer(b"".join(url_parts), np.uint8),
+                 url_off=offsets_of(url_lens),
+                 cap_blob=np.frombuffer(b"".join(cap_parts), np.uint8),
+                 cap_off=offsets_of(cap_lens),
+                 nsfw=(np.concatenate(nsfw_codes_parts)
+                       if nsfw_codes_parts else np.zeros(0, np.uint8)))
+        counts.append(n_rows)
 
     offsets = [0]
     for c in counts:

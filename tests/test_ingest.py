@@ -124,3 +124,15 @@ def test_build_url_rows_sampling(store):
     rows_all, _ = build_url_rows(matches, meta, sampling="all",
                                  skip_nsfw=False)
     assert {r["caption_id"] for r in rows_all} == {0, 1, 3, 4}
+
+
+def test_sharded_phrase_query_and_evict(store):
+    idx = ShardedCaptionIndex(store)
+    # phrase 'common blackbird' only matches the shard-1 caption
+    ids = idx.query("common blackbird", phrase=True)
+    assert sorted(ids) == [3]
+    # AND (non-phrase) also matches nothing extra here
+    ids2 = idx.query("common blackbird", phrase=False)
+    assert sorted(ids2) == [3]
+    idx.evict()
+    assert sorted(idx.query("blackbird")) == [0, 2, 3, 5]  # reload works
