@@ -57,9 +57,11 @@ def attention_heads_last(q, k, v, *, causal: bool,
     is the reference-parity setting."""
     dim = q.shape[-1]
     scale = 1.0 / (dim ** 0.5)
+    # fp32 MXU accumulation; the cast to the storage dtype fuses into the
+    # matmul epilogue so only softmax_dtype bytes ever hit HBM
     scores = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k, precision=matmul_precision,
-        preferred_element_type=softmax_dtype)
+        preferred_element_type=accum_dtype)
     scores = scores.astype(softmax_dtype) * jnp.asarray(
         scale, softmax_dtype)
     if causal:

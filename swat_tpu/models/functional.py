@@ -75,9 +75,12 @@ def _block(p, x, heads: int, quick_gelu: bool, causal: bool,
         # ([B, S, H*D]), zero relayouts (kernels/flash_attention.mha_packed)
         from swat_tpu.kernels.flash_attention import mha_packed
 
+        # bwd only matters when a --use_pallas training run differentiates
+        # through this; 'pallas' was the fastest fused-bwd variant measured
+        # (75.5 ms vs 92.8 'fused', 76.7 'xla' — all behind plain XLA's 72)
         attn = mha_packed(q, k, v, heads=heads, causal=causal,
                           interpret=jax.default_backend() != "tpu",
-                          bwd="fused")
+                          bwd="pallas")
     else:
         def heads_last(t):
             return t.reshape(b, s, heads, head_dim)
