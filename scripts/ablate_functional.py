@@ -126,8 +126,7 @@ def main():
 
 
     USE_PALLAS[0] = True
-    run("fused", mode="full")
-    run("fused512", batch=512, mode="full")
+    run("pallas", mode="full")
     USE_PALLAS[0] = False
     print(json.dumps(results))
 

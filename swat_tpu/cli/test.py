@@ -81,8 +81,9 @@ def main(argv=None):
 
         predict_path = args.predict_labels
         if predict_path is None:
-            predict_path = os.path.join(tempfile.gettempdir(),
-                                        "swat_predict_labels.txt")
+            fd, predict_path = tempfile.mkstemp(
+                prefix="swat_predict_labels_", suffix=".txt")
+            os.close(fd)
         samples = pipe._samples(split)
         loader = EvalLoader(samples, batch_size=args.bsz,
                             n_px=pipe.model_cfg.vision.image_size,

@@ -10,6 +10,9 @@
 //   * eval pixels: resize shorter side to n_px + center crop
 //     (transforms.eval_preprocess, pre-normalization)
 //
+// Dimension rounding uses std::nearbyint (ties-to-even under the default
+// FE_TONEAREST mode) to match Python's round() in transforms.py exactly.
+//
 // Resampling matches PIL's convolution resampler: bicubic kernel
 // (Catmull-Rom, a = -0.5, support 2.0) with the filter widened by the
 // downscale factor (antialias), per-axis separable passes, coefficients
@@ -23,6 +26,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <cfenv>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -238,10 +242,10 @@ long dec_canvas_batch(const char** paths, long n, long canvas,
         int nw, nh;
         if (w >= h) {
             nw = int(canvas);
-            nh = std::max(1, int(std::lround(double(h) * canvas / w)));
+            nh = std::max(1, int(std::nearbyint(double(h) * canvas / w)));
         } else {
             nh = int(canvas);
-            nw = std::max(1, int(std::lround(double(w) * canvas / h)));
+            nw = std::max(1, int(std::nearbyint(double(w) * canvas / h)));
         }
         std::vector<uint8_t> resized(size_t(nh) * nw * 3);
         resize_bicubic(px.data(), h, w, resized.data(), nh, nw);
@@ -275,10 +279,10 @@ long dec_eval_batch(const char** paths, long n, long n_px, uint8_t* out,
         if (w < h) {
             nw = int(n_px);
             nh = std::max(int(n_px),
-                          int(std::lround(double(h) * n_px / w)));
+                          int(std::nearbyint(double(h) * n_px / w)));
         } else {
             nw = std::max(int(n_px),
-                          int(std::lround(double(w) * n_px / h)));
+                          int(std::nearbyint(double(w) * n_px / h)));
             nh = int(n_px);
         }
         std::vector<uint8_t> resized(size_t(nh) * nw * 3);

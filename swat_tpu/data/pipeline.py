@@ -78,12 +78,16 @@ class EvalLoader:
         when built (GIL-free JPEG decode + PIL-parity bicubic,
         data/native/decoder.cpp), PIL threads otherwise."""
         from swat_tpu.data import native
-        from swat_tpu.kernels.augment import normalize
+        from swat_tpu.kernels.augment import CLIP_MEAN, CLIP_STD
 
         if native.available():
             u8 = native.batch_eval_pixels([s.path for s in chunk],
                                           self.n_px, self.num_workers)
-            return np.asarray(normalize(u8))
+            # host numpy math — a jnp normalize here would cost a device
+            # round trip per eval batch (~18 ms tunnel dispatch each)
+            x = u8.astype(np.float32) / 255.0
+            return ((x - np.asarray(CLIP_MEAN, np.float32))
+                    / np.asarray(CLIP_STD, np.float32))
         return np.stack(list(pool.map(self._load, chunk))).astype(
             np.float32)
 

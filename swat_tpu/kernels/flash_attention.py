@@ -159,6 +159,10 @@ _attention.defvjp(_attention_fwd, _attention_bwd)
 def _mha_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, causal, seq_len,
                     heads, head_dim):
     sp = q_ref.shape[1]
+    # fp32 operands need precision='highest' on this stack (the default
+    # rounds fp32 matmuls through bf16 passes); bf16 operands accumulate
+    # fp32 via preferred_element_type either way
+    hp = "highest" if q_ref.dtype == jnp.float32 else None
     rows = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 1)
     mask = cols < seq_len
@@ -169,12 +173,13 @@ def _mha_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, causal, seq_len,
         qh = q_ref[0, :, sl]
         kh = k_ref[0, :, sl]
         vh = v_ref[0, :, sl]
-        s = jnp.dot(qh, kh.T, preferred_element_type=jnp.float32) * scale
+        s = jnp.dot(qh, kh.T, precision=hp,
+                    preferred_element_type=jnp.float32) * scale
         s = jnp.where(mask, s, NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o = jnp.dot(p.astype(qh.dtype), vh,
+        o = jnp.dot(p.astype(qh.dtype), vh, precision=hp,
                     preferred_element_type=jnp.float32)
         o_ref[0, :, sl] = o.astype(o_ref.dtype)
 
@@ -182,6 +187,7 @@ def _mha_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, causal, seq_len,
 def _mha_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
                     scale, causal, seq_len, heads, head_dim):
     sp = q_ref.shape[1]
+    hp = "highest" if q_ref.dtype == jnp.float32 else None
     rows = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 1)
     mask = cols < seq_len
@@ -193,20 +199,25 @@ def _mha_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
         kh = k_ref[0, :, sl]
         vh = v_ref[0, :, sl]
         do = do_ref[0, :, sl]
-        s = jnp.dot(qh, kh.T, preferred_element_type=jnp.float32) * scale
+        s = jnp.dot(qh, kh.T, precision=hp,
+                    preferred_element_type=jnp.float32) * scale
         s = jnp.where(mask, s, NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)       # [S, S] fp32
 
         pb = p.astype(qh.dtype)
-        dv = jnp.dot(pb.T, do, preferred_element_type=jnp.float32)
-        dp = jnp.dot(do, vh.T, preferred_element_type=jnp.float32)
+        dv = jnp.dot(pb.T, do, precision=hp,
+                     preferred_element_type=jnp.float32)
+        dp = jnp.dot(do, vh.T, precision=hp,
+                     preferred_element_type=jnp.float32)
         delta = jnp.sum(p * dp, axis=-1, keepdims=True)
         ds = p * (dp - delta) * scale
         ds = jnp.where(mask, ds, 0.0).astype(qh.dtype)
-        dq = jnp.dot(ds, kh, preferred_element_type=jnp.float32)
-        dk = jnp.dot(ds.T, qh, preferred_element_type=jnp.float32)
+        dq = jnp.dot(ds, kh, precision=hp,
+                     preferred_element_type=jnp.float32)
+        dk = jnp.dot(ds.T, qh, precision=hp,
+                     preferred_element_type=jnp.float32)
         dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
         dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
         dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)

@@ -92,7 +92,8 @@ class Attention(nn.Module):
                 heads_last(q), heads_last(k), heads_last(v),
                 causal=self.causal,
                 accum_dtype=self.precision.accum_dtype,
-                matmul_precision=self.precision.matmul_precision)
+                matmul_precision=self.precision.matmul_precision,
+                softmax_dtype=self.precision.softmax_dtype)
             out = out.reshape(b, s, d)
         return nn.Dense(d, dtype=self.precision.compute_dtype,
                         param_dtype=self.precision.param_dtype,

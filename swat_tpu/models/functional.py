@@ -188,8 +188,10 @@ def _pick_pallas(model, mode: str) -> bool:
     does not auto-partition under GSPMD, so batch-sharded eval would
     otherwise force a gather (or fail) on a mesh."""
     if mode == "infer":
-        return model.use_pallas or (jax.default_backend() == "tpu"
-                                    and jax.device_count() == 1)
+        auto = (jax.default_backend() == "tpu"
+                and jax.device_count() == 1
+                and model.precision.compute_dtype == jnp.bfloat16)
+        return model.use_pallas or auto
     return model.use_pallas
 
 

@@ -49,8 +49,11 @@ def build_url_rows(retrieved: Dict[str, Sequence[Tuple[str, int]]],
     {class: [(shard, rowid, caption, url)]} — the .meta equivalent)."""
     rows: List[dict] = []
     metadata: Dict[str, list] = {}
-    for cls in sorted(retrieved, key=lambda k: int(k) if str(k).isdigit()
-                      else str(k)):
+    def sort_key(k):
+        ks = str(k)
+        return (0, int(ks), "") if ks.isdigit() else (1, 0, ks)
+
+    for cls in sorted(retrieved, key=sort_key):
         ids = select_samples(retrieved[cls], sampling, max_images,
                              seed=seed)
         metadata[str(cls)] = []

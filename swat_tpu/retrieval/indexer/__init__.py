@@ -87,7 +87,12 @@ class NativeCaptionIndex:
         """Serialize to disk; reload with index_path= (build once over a
         corpus-scale caption set, reload instantly)."""
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-        if self._lib.idx_save(self._h, path.encode()) != 0:
+        rc = self._lib.idx_save(self._h, path.encode())
+        if rc == -2:
+            raise ValueError(
+                "this index was opened from a memory-mapped v2 file and "
+                "is read-only; copy the file on disk instead of re-saving")
+        if rc != 0:
             raise IOError(f"index save failed: {path}")
 
     def __len__(self):

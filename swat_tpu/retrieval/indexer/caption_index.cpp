@@ -282,7 +282,7 @@ void put_raw(std::ofstream& out, const void* p, size_t n) {
 
 long idx_save(void* h, const char* path) {
   auto* handle = static_cast<Handle*>(h);
-  if (!handle->mem) return -1;  // mmap'd indexes are already on disk
+  if (!handle->mem) return -2;  // mmap'd (v2) handle: read-only, on disk
   auto* idx = handle->mem;
   const int64_t n_cap = int64_t(idx->caption_tokens.size());
   const int64_t n_tok = int64_t(idx->vocab.size());

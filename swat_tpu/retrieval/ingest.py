@@ -136,13 +136,21 @@ def ingest_shards(inputs: Sequence[str], out_dir: str, *,
             np.cumsum(lens, out=off[1:])
             return off
 
-        np.savez(os.path.join(out_dir, f"meta_{i:05d}.npz"),
-                 url_blob=np.frombuffer(b"".join(url_parts), np.uint8),
-                 url_off=offsets_of(url_lens),
-                 cap_blob=np.frombuffer(b"".join(cap_parts), np.uint8),
-                 cap_off=offsets_of(cap_lens),
-                 nsfw=(np.concatenate(nsfw_codes_parts)
-                       if nsfw_codes_parts else np.zeros(0, np.uint8)))
+        # one .npy per field: unlike .npz members, plain .npy files load
+        # with mmap_mode='r' as TRUE memory maps, so MetaStore lookups are
+        # O(1) page-ins instead of whole-blob reads
+        meta_dir = os.path.join(out_dir, f"meta_{i:05d}")
+        os.makedirs(meta_dir, exist_ok=True)
+        fields = {
+            "url_blob": np.frombuffer(b"".join(url_parts), np.uint8),
+            "url_off": offsets_of(url_lens),
+            "cap_blob": np.frombuffer(b"".join(cap_parts), np.uint8),
+            "cap_off": offsets_of(cap_lens),
+            "nsfw": (np.concatenate(nsfw_codes_parts)
+                     if nsfw_codes_parts else np.zeros(0, np.uint8)),
+        }
+        for name, arr in fields.items():
+            np.save(os.path.join(meta_dir, f"{name}.npy"), arr)
         counts.append(n_rows)
 
     offsets = [0]
@@ -196,9 +204,18 @@ class MetaStore:
 
     def _shard(self, i: int) -> dict:
         if i not in self._shards:
-            self._shards[i] = np.load(
-                os.path.join(self.dir, f"meta_{i:05d}.npz"), mmap_mode="r")
+            meta_dir = os.path.join(self.dir, f"meta_{i:05d}")
+            self._shards[i] = {
+                name: np.load(os.path.join(meta_dir, f"{name}.npy"),
+                              mmap_mode="r")
+                for name in ("url_blob", "url_off", "cap_blob", "cap_off",
+                             "nsfw")
+            }
         return self._shards[i]
+
+    def evict(self):
+        """Drop shard mappings (they re-open lazily)."""
+        self._shards.clear()
 
     def lookup(self, gid: int) -> dict:
         shard, row = self.shard_rowid(int(gid))

@@ -129,10 +129,12 @@ def load_best_model(path: str, params_template=None, head_template=None):
         params = dict(params_template)
         params["visual"] = visual
         return params, head_template, log100, meta
-    if "best_tau_head" in arrays:
-        head = arrays["best_tau_head"]
-        if isinstance(head, dict):
-            head = head["w"]
+    tau = arrays.get("best_tau_head")
+    if tau:  # non-empty dict/array (save_best_model writes {} when absent)
+        if params_template is None:
+            raise ValueError(f"{path} is a tau-head-only checkpoint; a "
+                             "params template is required")
+        head = tau["w"] if isinstance(tau, dict) else tau
         return params_template, head, log100, meta
     raise ValueError(f"no model weights found in {path}: {list(arrays)}")
 
