@@ -69,6 +69,9 @@ class RunConfig:
     lambda_u: float = 1.0
 
     # training control
+    # (start_validation is accepted for flag parity; it is a no-op in the
+    # reference too — every trainer's gate is commented out,
+    # utils/training.py:350,624,757)
     check_zeroshot: bool = False
     zeroshot_only: bool = False
     early_stop: bool = False
@@ -131,6 +134,10 @@ class RunConfig:
         if cfg.method == "zeroshot":
             cfg = dataclasses.replace(cfg, check_zeroshot=True,
                                       zeroshot_only=True, skip_stage2=True)
+        if cfg.zeroshot_only and not cfg.check_zeroshot:
+            # --zeroshot_only without --check_zeroshot would print an
+            # undefined zero-shot acc (the reference NameErrors there)
+            cfg = dataclasses.replace(cfg, check_zeroshot=True)
         # cls_init -> prompt_name coupling (:160-165)
         if cfg.cls_init in ("REAL-Prompt", "REAL-Linear", "random"):
             cfg = dataclasses.replace(cfg, prompt_name="most_common_name")

@@ -22,7 +22,9 @@ from swat_tpu.models.clip import CLIPModel
 
 def extract_image_features(model: CLIPModel, params, loader, mesh=None):
     """loader: EvalLoader-style (padded batches with masks).
-    Returns {'image_features': [N, D] normalized fp32, 'labels': [N]}."""
+    Returns {'image_features': [N, D] normalized fp32, 'labels': [N],
+    'source': [N]} (the fewshot-vs-retrieved flag rides along so
+    WeightedCE keeps working on pre-extracted features)."""
 
     @jax.jit
     def encode(params, images):
@@ -31,7 +33,7 @@ def extract_image_features(model: CLIPModel, params, loader, mesh=None):
         return F.encode_image(model, params, images, normalize=True,
                               mode="infer")
 
-    feats, labels = [], []
+    feats, labels, source = [], [], []
     for batch in loader:
         if mesh is not None:
             batch = shard_batch(mesh, batch)
@@ -39,8 +41,10 @@ def extract_image_features(model: CLIPModel, params, loader, mesh=None):
         m = np.asarray(batch["mask"])
         feats.append(out[m])
         labels.append(np.asarray(batch["labels"])[m])
+        source.append(np.asarray(batch["source"])[m])
     return {"image_features": np.concatenate(feats, axis=0),
-            "labels": np.concatenate(labels, axis=0)}
+            "labels": np.concatenate(labels, axis=0),
+            "source": np.concatenate(source, axis=0)}
 
 
 def feature_cache_path(cache_dir: str, dataset: str, model_cfg: str,

@@ -222,9 +222,11 @@ class FeatureBatches:
 
     def __init__(self, features: np.ndarray, labels: np.ndarray,
                  batch_size: int = 128, shuffle: bool = False,
-                 drop_last: bool = False, seed: int = 0):
+                 drop_last: bool = False, seed: int = 0, source=None):
         self.features = np.asarray(features)
         self.labels = np.asarray(labels)
+        self.source = (np.asarray(source, np.int32) if source is not None
+                       else np.full(len(self.labels), -1, np.int32))
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
@@ -244,16 +246,18 @@ class FeatureBatches:
             idx = order[start: start + bs]
             feats = self.features[idx]
             labels = self.labels[idx]
+            src = self.source[idx]
             k = len(idx)
             if k < bs:  # pad + mask (eval path only)
                 feats = np.concatenate(
                     [feats, np.zeros((bs - k,) + feats.shape[1:],
                                      feats.dtype)])
                 labels = np.concatenate([labels, np.zeros(bs - k, np.int32)])
+                src = np.concatenate([src, np.full(bs - k, -1, np.int32)])
             yield {
                 "features": feats,
                 "labels": labels.astype(np.int32),
-                "source": np.full(bs, -1, np.int32),
+                "source": src.astype(np.int32),
                 "mask": np.arange(bs) < k,
             }
 

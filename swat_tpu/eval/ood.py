@@ -57,15 +57,13 @@ def folder_dataset_samples(root: str, label_map: Optional[Dict[str, int]],
     resolved through ``label_map``."""
     rootp = pathlib.Path(root)
     samples: List[Sample] = []
-    for ext in exts:
+    for ext in exts:  # union across extensions (mixed-format roots)
         for p in sorted(rootp.glob(f"**/*{ext}")):
             name = p.parent.name
             if numeric and name.isdigit():
                 samples.append(Sample(str(p), int(name), 0))
             elif label_map is not None and name in label_map:
                 samples.append(Sample(str(p), label_map[name], 0))
-        if samples:
-            break
     return samples
 
 

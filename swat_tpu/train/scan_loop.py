@@ -72,8 +72,9 @@ class ResidentData:
         return cls(put(canvases), put(valid_hw), put(labels), put(source))
 
     def nbytes(self) -> int:
-        return int(self.canvases.size) + int(self.valid_hw.size) * 4 + \
-            int(self.labels.size) * 8
+        return sum(int(a.size) * a.dtype.itemsize
+                   for a in (self.canvases, self.valid_hw, self.labels,
+                             self.source))
 
 
 def epoch_permutation(rng: np.random.Generator, n: int, batch_size: int

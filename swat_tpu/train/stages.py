@@ -286,7 +286,8 @@ class SwatPipeline:
             train_loader = FeatureBatches(
                 train_feats["image_features"], train_feats["labels"],
                 batch_size=cfg.bsz, shuffle=True, drop_last=True,
-                seed=cfg.training_seed)
+                seed=cfg.training_seed,
+                source=train_feats.get("source"))
             val_feats = extract_image_features(
                 self.model, params, self._eval_loader(cfg.val_split, 256),
                 self.mesh)
@@ -335,7 +336,19 @@ class SwatPipeline:
                     f" canvases ({est / 1e9:.2f} GB) on device; "
                     "scan-epoch mode.")
 
-        steps_per_epoch = len(train_loader)
+        u_loader = None
+        if method == "fixmatch":
+            # the epoch iterates the *unlabeled* loader (reference
+            # train_fixmatch, utils/training.py:869-876) — the LR schedule
+            # must span that loop, not the labeled one
+            u_loader = TrainLoader(
+                self._samples(cfg.unlabeled_data),
+                batch_size=cfg.bsz * cfg.mu, seed=cfg.training_seed,
+                mode="canvas", n_px=image_size,
+                num_workers=cfg.num_workers)
+            steps_per_epoch = len(u_loader)
+        else:
+            steps_per_epoch = len(train_loader)
         total_iter = steps_per_epoch * max(cfg.epochs, 1)
 
         # dataset-cls needs a binary head (reference set_classifier,
@@ -431,14 +444,9 @@ class SwatPipeline:
             step = S.make_fixmatch_step(
                 self.model, tx, threshold=cfg.threshold,
                 lambda_u=cfg.lambda_u, image_size=image_size)
-            # primary iteration over the *unlabeled* loader
-            u_loader = TrainLoader(
-                self._samples(cfg.unlabeled_data),
-                batch_size=cfg.bsz * cfg.mu, seed=cfg.training_seed,
-                mode="canvas", n_px=image_size,
-                num_workers=cfg.num_workers)
+            # primary iteration over the *unlabeled* loader (built above,
+            # before the optimizer, so total_iter matches)
             labeled_cycler = CyclingLoader(train_loader)
-            steps_per_epoch = len(u_loader)
 
             def train_batches():
                 for ub in u_loader:
@@ -476,13 +484,15 @@ class SwatPipeline:
                 return validate_features(
                     head_arr, state.logit_scale,
                     val_feats["image_features"], val_feats["labels"],
-                    cfg.num_classes, loss)
+                    cfg.num_classes, loss,
+                    source=val_feats.get("source"))
 
             def test_fn(state):
                 acc, _, _ = validate_features(
                     _cls_head(state.head), state.logit_scale,
                     test_feats["image_features"], test_feats["labels"],
-                    cfg.num_classes, loss)
+                    cfg.num_classes, loss,
+                    source=test_feats.get("source"))
                 return acc
         elif method == "dataset-cls":
             # predictions compared against the source flag (reference
@@ -556,13 +566,14 @@ class SwatPipeline:
                 cutmix_beta=cfg.cutmix_beta, mix_prob=cfg.mix_prob,
                 image_size=image_size)
             perm_rng = np.random.default_rng(cfg.training_seed)
-            twin_bsz = max(1, int(cfg.bsz * cfg.fewshot_ratio))
+            twin_bsz = (cfg.bsz if method == "mixup-fs" else
+                        max(1, int(cfg.bsz * cfg.fewshot_ratio)))
             cmo_probs = None
             if method == "CMO":
                 from swat_tpu.data.pipeline import WeightedSampler
 
                 cmo_probs = WeightedSampler(
-                    self._samples(cfg.train_split), cfg.num_classes,
+                    self._train_samples(cfg), cfg.num_classes,
                     cfg.cmo_alpha).p
 
             def epoch_runner(state, epoch, key):
@@ -600,8 +611,13 @@ class SwatPipeline:
     def _fs_loader(self, cfg: RunConfig):
         """Few-shot twin loader for *-fs / finetune-mixed methods
         (reference get_retrieve_fewshot_dataloader,
-        utils/dataloader.py:138-165)."""
-        bsz = max(1, int(cfg.bsz * cfg.fewshot_ratio))
+        utils/dataloader.py:138-165).  mixup-fs SELECTS whole batches
+        (its lambda is always 0 or 1), so its twin matches the primary
+        batch size; concat methods use the fewshot_ratio split."""
+        if cfg.method == "mixup-fs":
+            bsz = cfg.bsz
+        else:
+            bsz = max(1, int(cfg.bsz * cfg.fewshot_ratio))
         return TrainLoader(
             self._samples(cfg.fewshot_data), batch_size=bsz,
             seed=cfg.training_seed + 7, mode=cfg.aug_mode,
@@ -732,7 +748,7 @@ class SwatPipeline:
         if not cfg.no_wsft:
             logger.info("Checking WSFT ......")
             wsft_backbone, wsft_head, wsft_test_acc = self.run_wsft_alpha(
-                cfg, best_trainable)
+                cfg, best_trainable, alphas=(cfg.alpha,))
 
         # ---- re-extract features with the best model for fast tau/test
         best_params = best_trainable["model"]

@@ -240,7 +240,10 @@ def make_flyp_step(model: CLIPModel, tx, loss: LossFn = cross_entropy,
             txt_f = F.encode_text(model, trainable["model"],
                                   batch["prompt_tokens"], normalize=True)
             scale = jnp.exp(trainable["logit_scale"])
-            logits_i = scale * img_f @ txt_f.T
+            # fp32 features: the default precision would round through
+            # bf16 on this stack (CLAUDE.md); small matmul, keep exact
+            logits_i = scale * jnp.dot(img_f, txt_f.T,
+                                       precision="highest")
             logits_t = logits_i.T
             labels = jnp.arange(logits_i.shape[0])
             source = batch["source"]

@@ -143,3 +143,26 @@ def test_dataset_cls(pipeline):
     best = _run(pipeline, method="dataset-cls",
                 data_source="fewshot+retrieved", epochs=1)
     assert 0 <= best.val_acc <= 100.001
+
+
+def test_mixup_fs_default_ratio(pipeline):
+    """mixup-fs must run at the default fewshot_ratio=0.5: its lambda is
+    always 0 or 1 (batch selection), so the twin matches the primary
+    batch size regardless of the ratio (review fix)."""
+    best = _run(pipeline, method="mixup-fs",
+                data_source="fewshot+retrieved", epochs=1, bsz=4,
+                fewshot_ratio=0.5)
+    assert 0 <= best.val_acc <= 100.001
+
+
+def test_weighted_ce_probing_uses_real_source(pipeline):
+    """Pre-extracted probing with WeightedCE gets real fewshot/retrieved
+    source flags (FeatureBatches no longer hardcodes -1, which zeroed
+    every weight at fewshot_weight=2)."""
+    best = _run(pipeline, method="probing",
+                data_source="fewshot+retrieved", epochs=2,
+                loss_name="WeightedCE", fewshot_weight=2.0,
+                lr_classifier=1e-2)
+    # with the old -1 source flags every weight was 2-fw = 0 -> no
+    # learning signal at all; now training must move the head
+    assert best.val_acc > 0.0
