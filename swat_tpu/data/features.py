@@ -20,6 +20,29 @@ from swat_tpu.core.mesh import shard_batch
 from swat_tpu.models.clip import CLIPModel
 
 
+def batched_encode(encode_fn, tokens: "np.ndarray",
+                   batch_size: int = 1024) -> "np.ndarray":
+    """Encode [N, ctx] token rows through a jitted encode_fn in fixed-size
+    chunks, padding the tail (by repeating the last row) so every call
+    hits the same compiled shape; padding is stripped from the output.
+
+    Single home for the pad/encode/strip loop used by the prompt encoder,
+    the synonym filter, and mined-caption extraction."""
+    feats = []
+    n = tokens.shape[0]
+    for i in range(0, n, batch_size):
+        chunk = tokens[i: i + batch_size]
+        pad = 0
+        if chunk.shape[0] < batch_size and n > batch_size:
+            pad = batch_size - chunk.shape[0]
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], pad, 0)], axis=0)
+        out = np.asarray(encode_fn(chunk))
+        feats.append(out[: out.shape[0] - pad] if pad else out)
+    return (np.concatenate(feats, axis=0) if feats
+            else np.empty((0,), np.float32))
+
+
 def extract_image_features(model: CLIPModel, params, loader, mesh=None):
     """loader: EvalLoader-style (padded batches with masks).
     Returns {'image_features': [N, D] normalized fp32, 'labels': [N],

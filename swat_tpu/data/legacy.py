@@ -33,11 +33,15 @@ def read_legacy_split(dataset_root: str, split: str, task: str = "All",
         parts = line.rsplit()
         return parts[0], int(parts[1])
 
-    rows = [parse(x) for x in lines if x.strip()]
+    rows = [(p, label, 1) for p, label in
+            (parse(x) for x in lines if x.strip())]
     if pl_list is not None:
-        rows += [parse(x) for x in pl_list if x.strip()]
-    return [Sample(os.path.join(dataset_root, p), label, 1)
-            for p, label in rows]
+        # pseudo-labeled rows count as retrieved (is_fewshot=0), matching
+        # splits.read_pseudo_split's documented semantics
+        rows += [(p, label, 0) for p, label in
+                 (parse(x) for x in pl_list if x.strip())]
+    return [Sample(os.path.join(dataset_root, p), label, fs)
+            for p, label, fs in rows]
 
 
 def read_cub200_split(root: str, train: bool = True) -> List[Sample]:

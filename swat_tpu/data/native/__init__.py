@@ -119,10 +119,10 @@ def batch_eval_pixels(paths: Sequence[str], n_px: int = 224,
         for i in np.nonzero(status)[0]:
             img = load_image(paths[i])
             w, h = img.size
-            if w < h:
-                nw, nh = n_px, max(n_px, round(h * n_px / w))
+            if w < h:  # torchvision truncates the long side
+                nw, nh = n_px, max(n_px, int(h * n_px / w))
             else:
-                nw, nh = max(n_px, round(w * n_px / h)), n_px
+                nw, nh = max(n_px, int(w * n_px / h)), n_px
             img = img.resize((nw, nh), Image.BICUBIC)
             left, top = (nw - n_px) // 2, (nh - n_px) // 2
             out[i] = np.asarray(

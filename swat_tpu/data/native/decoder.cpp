@@ -275,14 +275,13 @@ long dec_eval_batch(const char** paths, long n, long n_px, uint8_t* out,
             failures.fetch_add(1);
             return;
         }
-        int nw, nh;
+        int nw, nh;  // torchvision truncates the long side (int(), not
+                     // round) — keeps parity with transforms.eval_preprocess
         if (w < h) {
             nw = int(n_px);
-            nh = std::max(int(n_px),
-                          int(std::nearbyint(double(h) * n_px / w)));
+            nh = std::max(int(n_px), int(double(h) * n_px / w));
         } else {
-            nw = std::max(int(n_px),
-                          int(std::nearbyint(double(w) * n_px / h)));
+            nw = std::max(int(n_px), int(double(w) * n_px / h));
             nh = int(n_px);
         }
         std::vector<uint8_t> resized(size_t(nh) * nw * 3);

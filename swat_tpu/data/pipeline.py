@@ -30,31 +30,49 @@ from swat_tpu.data.transforms import (
 
 
 def _prefetch(gen, depth: int = 2):
-    """Run a generator in a background thread with a small queue."""
+    """Run a generator in a background thread with a small queue.
+
+    Abandoning the iteration early (break / exception in the consumer)
+    stops the worker promptly: the worker polls a stop flag on every
+    bounded put, and the finally block closes the source generator so its
+    thread pools exit their with-blocks."""
     import queue
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     END = object()
     err: List[BaseException] = []
+    stop = threading.Event()
 
     def worker():
         try:
             for item in gen:
-                q.put(item)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # propagate to consumer
             err.append(e)
         finally:
-            q.put(END)
+            if not stop.is_set():
+                q.put(END)
+            gen.close()
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is END:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is END:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
 
 
 class EvalLoader:

@@ -155,9 +155,25 @@ def make_prompts(metrics: Mapping[str, dict], dataset: str,
     """class_id -> list of prompt strings (reference prompt_maker,
     utils/prompt.py:83-105)."""
     templates = get_templates(dataset, name_type)
+    # semi-aves name types read dedicated metrics fields (reference
+    # prompt_maker_aves, utils/prompt.py:108-141); t-name formats BOTH the
+    # species and common name into its two-placeholder template
+    field_of = {"s-name": "species", "c-name": "common_name",
+                "c-name-80prompts": "common_name",
+                "f-name": "most_freq_synonym"}
     prompts: Dict[str, List[str]] = {}
     for class_id in sorted(metrics, key=int):
-        label = metrics[class_id][name_type]
+        entry = metrics[class_id]
+        if name_type == "t-name":
+            s_name = entry.get("species", entry.get(name_type))
+            c_name = entry.get("common_name", s_name)
+            prompts[class_id] = [t.format(s_name, c_name)
+                                 for t in templates]
+            continue
+        if name_type in field_of:
+            label = entry.get(field_of[name_type], entry.get(name_type))
+        else:
+            label = entry[name_type]
         if name_type == "alternates":
             # label is a synonym->count mapping (possibly serialized as str)
             if isinstance(label, str):
@@ -210,20 +226,11 @@ def encode_prompts(encode_fn: Callable, tokenized: Mapping[str, np.ndarray],
     re-normalized mean of the class's prompt embeddings
     (reference utils/features.py:57-59).
     """
+    from swat_tpu.data.features import batched_encode
+
     cids = list(tokenized)
     all_tokens = np.concatenate([tokenized[c] for c in cids], axis=0)
-    feats = []
-    n = all_tokens.shape[0]
-    for i in range(0, n, batch_size):
-        chunk = all_tokens[i: i + batch_size]
-        pad = 0
-        if chunk.shape[0] < batch_size and n > batch_size:
-            pad = batch_size - chunk.shape[0]
-            chunk = np.concatenate(
-                [chunk, np.repeat(chunk[-1:], pad, 0)], axis=0)
-        out = np.asarray(encode_fn(chunk))
-        feats.append(out[: out.shape[0] - pad] if pad else out)
-    feats = np.concatenate(feats, axis=0)
+    feats = batched_encode(encode_fn, all_tokens, batch_size)
 
     out_dict: Dict[str, dict] = {}
     ofs = 0

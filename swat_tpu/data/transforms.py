@@ -32,10 +32,13 @@ def eval_preprocess(img: Image.Image, n_px: int = 224) -> np.ndarray:
     normalize — OpenCLIP's val preprocess (used by the reference via
     ``get_engine``'s returned ``preprocess``)."""
     w, h = img.size
+    # torchvision Resize truncates the long side (int(), not round):
+    # _compute_resized_output_size — matching it keeps the bicubic grid
+    # and center crop bit-comparable with the reference preprocess
     if w < h:
-        nw, nh = n_px, max(n_px, int(round(h * n_px / w)))
+        nw, nh = n_px, max(n_px, int(h * n_px / w))
     else:
-        nw, nh = max(n_px, int(round(w * n_px / h))), n_px
+        nw, nh = max(n_px, int(w * n_px / h)), n_px
     img = img.resize((nw, nh), Image.BICUBIC)
     left = (nw - n_px) // 2
     top = (nh - n_px) // 2

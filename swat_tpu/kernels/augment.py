@@ -66,8 +66,20 @@ def _sample_crop(key, valid_h, valid_w, scale, ratio, tries: int = 10):
     ok = (w > 0) & (w <= valid_w) & (h > 0) & (h <= valid_h)
     idx = jnp.argmax(ok)  # first valid try
     any_ok = jnp.any(ok)
-    # fallback: largest centered crop with clamped aspect (torch fallback)
-    fb_h, fb_w = valid_h, valid_w
+    # fallback: torchvision's centered crop with the aspect ratio clamped
+    # into [ratio[0], ratio[1]] (RandomResizedCrop.get_params tail) —
+    # extreme-aspect images crop a ratio-legal region instead of
+    # stretching the whole valid area
+    in_ratio = valid_w.astype(jnp.float32) / valid_h.astype(jnp.float32)
+    fb_w = jnp.where(
+        in_ratio < ratio[0], valid_w,
+        jnp.where(in_ratio > ratio[1],
+                  jnp.round(valid_h * ratio[1]).astype(jnp.int32),
+                  valid_w))
+    fb_h = jnp.where(
+        in_ratio < ratio[0],
+        jnp.round(valid_w / ratio[0]).astype(jnp.int32),
+        jnp.where(in_ratio > ratio[1], valid_h, valid_h))
     ch = jnp.where(any_ok, h[idx], fb_h)
     cw = jnp.where(any_ok, w[idx], fb_w)
     k_i, k_j = jax.random.split(k_pos)

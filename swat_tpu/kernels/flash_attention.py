@@ -275,14 +275,15 @@ def _xla_packed_attention(q, k, v, heads, causal):
     qh = q.reshape(b, s, heads, d)
     kh = k.reshape(b, s, heads, d)
     vh = v.reshape(b, s, heads, d)
-    scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+    hp = "highest" if q.dtype == jnp.float32 else None
+    scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh, precision=hp,
                         preferred_element_type=jnp.float32)
     scores = scores.astype(jnp.float32) * scale
     if causal:
         mask = jnp.tril(jnp.ones((s, s), dtype=bool))
         scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, vh,
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, vh, precision=hp,
                      preferred_element_type=jnp.float32)
     return out.astype(q.dtype).reshape(b, s, hd)
 

@@ -153,6 +153,10 @@ def cmd_stringmatch(args):
         from swat_tpu.retrieval.indexer import NativeCaptionIndex
 
         index = NativeCaptionIndex(index_path=args.index_path)
+    elif args.captions is None:
+        raise SystemExit(
+            f"--index_path {args.index_path} does not exist and no "
+            "--captions corpus was given to build it from")
     else:
         index = make_index(path=args.captions,
                            prefer_native=not args.no_native)

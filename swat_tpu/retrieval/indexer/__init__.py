@@ -107,6 +107,13 @@ class NativeCaptionIndex:
             self._h, q.encode("utf-8", errors="replace"), int(phrase),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
             self.max_results)
+        if n > self.max_results:
+            import warnings
+
+            warnings.warn(
+                f"caption index query {name!r} matched {n} captions; "
+                f"returning only the first {self.max_results} "
+                "(raise max_results to keep them all)")
         return out[: min(n, self.max_results)].copy()
 
     def __del__(self):

@@ -91,18 +91,12 @@ def extract_mined_features(model, params, samples: List[Sample],
         return F.encode_text(model, params, tok, normalize=True,
                              mode="infer")
 
-    cap_feats = []
-    n = tokens.shape[0]
-    for i in range(0, n, batch_size):
-        chunk = tokens[i: i + batch_size]
-        pad = batch_size - chunk.shape[0] if n > batch_size else 0
-        if pad > 0:
-            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
-        out = np.asarray(encode_text(chunk))
-        cap_feats.append(out[: out.shape[0] - pad] if pad else out)
+    from swat_tpu.data.features import batched_encode
+
+    cap_feats = batched_encode(encode_text, np.asarray(tokens), batch_size)
     return {
         "image_features": img["image_features"],
-        "caption_features": np.concatenate(cap_feats, axis=0),
+        "caption_features": cap_feats,
         "labels": np.asarray([s.label for s in samples], np.int32),
         "file_paths": np.asarray([s.path for s in samples]),
     }

@@ -112,6 +112,22 @@ def rank_candidates(prompt_matrix: np.ndarray,
     return np.asarray(top_idx), np.asarray(top_sim)
 
 
+@functools.lru_cache(maxsize=8)
+def _block_pair_fn(threshold: float):
+    """Cached per-threshold jit — a fresh closure per call would
+    recompile on every invocation (1.5-10 min over the TPU tunnel)."""
+
+    @jax.jit
+    def block_pair(a, b, ia, ib):
+        sims = jnp.matmul(a, b.T, precision="highest")
+        rows = ia + jnp.arange(a.shape[0])[:, None]
+        cols = ib + jnp.arange(b.shape[0])[None, :]
+        hit = (sims > threshold) & (rows < cols)
+        return hit.any(axis=0)
+
+    return block_pair
+
+
 def near_duplicate_indices(embeddings: np.ndarray,
                            threshold: float = 0.9,
                            block: int = 4096) -> np.ndarray:
@@ -121,14 +137,7 @@ def near_duplicate_indices(embeddings: np.ndarray,
     n = embeddings.shape[0]
     emb = jnp.asarray(embeddings, jnp.float32)
     drop = np.zeros(n, bool)
-
-    @jax.jit
-    def block_pair(a, b, ia, ib):
-        sims = jnp.matmul(a, b.T, precision="highest")
-        rows = ia + jnp.arange(a.shape[0])[:, None]
-        cols = ib + jnp.arange(b.shape[0])[None, :]
-        hit = (sims > threshold) & (rows < cols)
-        return hit.any(axis=0)
+    block_pair = _block_pair_fn(float(threshold))
 
     for jb in range(0, n, block):
         b = emb[jb: jb + block]
@@ -140,6 +149,11 @@ def near_duplicate_indices(embeddings: np.ndarray,
     return np.where(drop)[0]
 
 
+@jax.jit
+def _zs_preds(x, head):
+    return jnp.argmax(jnp.matmul(x, head.T, precision="highest"), axis=-1)
+
+
 def zeroshot_misclassified(embeddings: np.ndarray, labels: np.ndarray,
                            head: np.ndarray,
                            batch: int = 8192) -> np.ndarray:
@@ -148,12 +162,8 @@ def zeroshot_misclassified(embeddings: np.ndarray, labels: np.ndarray,
     emb = jnp.asarray(embeddings, jnp.float32)
     hd = jnp.asarray(head, jnp.float32)
 
-    @jax.jit
-    def preds_of(x):
-        return jnp.argmax(jnp.matmul(x, hd.T, precision="highest"), axis=-1)
-
     preds = []
     for i in range(0, emb.shape[0], batch):
-        preds.append(np.asarray(preds_of(emb[i: i + batch])))
+        preds.append(np.asarray(_zs_preds(emb[i: i + batch], hd)))
     preds = np.concatenate(preds) if preds else np.empty(0, np.int64)
     return np.where(preds != np.asarray(labels))[0]

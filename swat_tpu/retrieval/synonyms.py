@@ -40,19 +40,11 @@ def filter_synonyms(encode_fn: Callable, tokenizer, names: Dict[str, dict],
     syn_lists: List[List[str]] = [list(names[k]["synonyms"]) for k in keys]
     flat_syns = [s for lst in syn_lists for s in lst]
 
+    from swat_tpu.data.features import batched_encode
+
     all_texts = class_prompts + [_prompt(s) for s in flat_syns]
     tokens = tokenizer(all_texts, context_length)
-    feats = []
-    n = tokens.shape[0]
-    for i in range(0, n, batch_size):
-        chunk = tokens[i: i + batch_size]
-        pad = batch_size - chunk.shape[0] if (
-            chunk.shape[0] < batch_size and n > batch_size) else 0
-        if pad:
-            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)], 0)
-        out = np.asarray(encode_fn(chunk))
-        feats.append(out[: out.shape[0] - pad] if pad else out)
-    feats = np.concatenate(feats, axis=0)
+    feats = batched_encode(encode_fn, tokens, batch_size)
 
     c = len(keys)
     classifier = feats[:c]                      # [C, D] normalized

@@ -100,3 +100,26 @@ def test_saliency_map_peaks_on_feature():
     sal = np.asarray(aug.saliency_map(jnp.asarray(img)))
     peak = np.unravel_index(sal[0].argmax(), sal[0].shape)
     assert abs(peak[0] - 20) <= 1 and abs(peak[1] - 11) <= 1
+
+
+def test_rrc_fallback_clamps_aspect(rng):
+    """When no candidate crop fits (extreme aspect), the fallback crops a
+    ratio-legal centered region like torchvision, instead of stretching
+    the whole valid area (reference transform parity)."""
+    import jax
+
+    from swat_tpu.kernels.augment import _sample_crop
+
+    key = jax.random.PRNGKey(0)
+    # 4:1 panorama: in_ratio=4.0 > 4/3 -> width clamps to h * 4/3
+    i, j, ch, cw = _sample_crop(key, jnp.int32(64), jnp.int32(256),
+                                (0.9, 1.0), (3 / 4, 4 / 3))
+    assert int(ch) == 64
+    assert int(cw) == round(64 * 4 / 3)
+    assert int(j) == (256 - int(cw)) // 2  # centered
+    # 1:4 portrait: height clamps to w / (3/4)
+    i, j, ch, cw = _sample_crop(key, jnp.int32(256), jnp.int32(64),
+                                (0.9, 1.0), (3 / 4, 4 / 3))
+    assert int(cw) == 64
+    assert int(ch) == round(64 / (3 / 4))
+    assert int(i) == (256 - int(ch)) // 2

@@ -246,3 +246,24 @@ def test_cub200_reader(tmp_path):
     assert [s.label for s in train] == [0, 1]  # 1-indexed -> 0-indexed
     assert len(test) == 1 and test[0].path.endswith("b.jpg")
     assert all("CUB_200_2011/images" in s.path for s in train)
+
+
+def test_make_prompts_semi_aves_name_types():
+    """semi-aves name types resolve dedicated metrics fields; t-name
+    formats species AND common name into its two-placeholder template
+    (reference prompt_maker_aves, utils/prompt.py:108-141)."""
+    from swat_tpu.data.prompts import make_prompts
+
+    metrics = {"0": {"species": "Turdus merula",
+                     "common_name": "common blackbird",
+                     "most_freq_synonym": "blackbird",
+                     "most_common_name": "blackbird"}}
+    t = make_prompts(metrics, "semi-aves", "t-name")
+    assert t["0"] == ["a photo of a Turdus merula, a type of bird, "
+                      "commonally known as common blackbird."]
+    s = make_prompts(metrics, "semi-aves", "s-name")
+    assert s["0"] == ["a photo of a Turdus merula, a type of bird."]
+    c = make_prompts(metrics, "semi-aves", "c-name")
+    assert c["0"] == ["a photo of a common blackbird, a type of bird."]
+    f = make_prompts(metrics, "semi-aves", "f-name")
+    assert f["0"] == ["a photo of a blackbird, a type of bird."]
