@@ -19,9 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BATCH = 256
 STEPS = 20
-PEAK_TFLOPS = 197.0  # v5e bf16
-# ViT-B/32 @224: ~4.37 GFLOP/img fwd (2*params*tokens-ish measured), 3x for bwd
-FWD_GFLOP_PER_IMG = 4.4
+PEAK_TFLOPS = 197.0  # v5e bf16 (2*M*N*K FLOP convention)
+# ViT-B/32 @224: 8.85 GFLOP/img fwd (2*M*N*K; the cited 4.4 is MACs)
+FWD_GFLOP_PER_IMG = 8.85
 TRAIN_GFLOP_PER_IMG = 3 * FWD_GFLOP_PER_IMG
 
 

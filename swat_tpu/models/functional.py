@@ -101,7 +101,13 @@ def _block(p, x, heads: int, quick_gelu: bool, causal: bool,
 
 def _transformer(p, x, heads: int, layers: int, quick_gelu: bool,
                  causal: bool, precision: Precision, remat: bool = False,
-                 use_pallas: bool = False):
+                 use_pallas: bool = False, use_mega: bool = False):
+    if use_mega:
+        from swat_tpu.kernels.megablock import fused_transformer
+
+        return fused_transformer(
+            p, x, heads=heads, layers=layers, quick_gelu=quick_gelu,
+            causal=causal, compute_dtype=precision.compute_dtype)
     blocks = p["blocks"]
     body = _block
     if remat:
@@ -114,7 +120,8 @@ def _transformer(p, x, heads: int, layers: int, quick_gelu: bool,
 
 def vit_encode_image(p, images, cfg: VisionConfig, precision: Precision,
                      pool: bool = True, normalize: bool = False,
-                     remat: bool = False, use_pallas: bool = False):
+                     remat: bool = False, use_pallas: bool = False,
+                     use_mega: bool = False):
     """Same math as clip.VisionTower.__call__ on params['visual']."""
     patch = cfg.patch_size
     b, h, w, c = images.shape
@@ -134,7 +141,7 @@ def vit_encode_image(p, images, cfg: VisionConfig, precision: Precision,
     x = _layer_norm(p["ln_pre"]["ln"], x, precision)
     x = _transformer(p["transformer"], x, cfg.heads, cfg.layers,
                      cfg.quick_gelu, causal=False, precision=precision,
-                     remat=remat, use_pallas=use_pallas)
+                     remat=remat, use_pallas=use_pallas, use_mega=use_mega)
     x = _layer_norm(p["ln_post"]["ln"], x if not pool else x[:, 0],
                     precision)
     feats = jnp.dot(x, p["proj"].astype(cd),
@@ -148,14 +155,14 @@ def vit_encode_image(p, images, cfg: VisionConfig, precision: Precision,
 
 def text_encode(p, token_ids, cfg: TextConfig, precision: Precision,
                 normalize: bool = False, remat: bool = False,
-                use_pallas: bool = False):
+                use_pallas: bool = False, use_mega: bool = False):
     """Same math as clip.TextTower.__call__ on params['text']."""
     cd = precision.compute_dtype
     x = p["token_embedding"][token_ids].astype(cd)
     x = x + p["positional_embedding"].astype(cd)
     x = _transformer(p["transformer"], x, cfg.heads, cfg.layers,
                      cfg.quick_gelu, causal=True, precision=precision,
-                     remat=remat, use_pallas=use_pallas)
+                     remat=remat, use_pallas=use_pallas, use_mega=use_mega)
     x = _layer_norm(p["ln_final"]["ln"], x, precision)
     eot = jnp.argmax(token_ids, axis=-1)
     x = x[jnp.arange(x.shape[0]), eot]
@@ -208,6 +215,38 @@ def encode_image(model, params, images, normalize: bool = False,
 
     return model.apply({"params": params}, images, normalize,
                        method=CLIPModel.encode_image)
+
+
+def encode_image_bn_train(model, params, images, normalize: bool = True):
+    """RN50 train-mode forward: batch-stat BN + sown running-stat
+    updates.  Returns (features, bn_updates) where bn_updates is the
+    sown 'intermediates' subtree for the visual tower (fold back into
+    the param tree with ``apply_bn_updates``)."""
+    from swat_tpu.models.clip import CLIPModel
+
+    feats, inter = model.apply(
+        {"params": params}, images, normalize, True,
+        method=CLIPModel.encode_image, mutable=["intermediates"])
+    return feats, inter["intermediates"].get("visual", {})
+
+
+def apply_bn_updates(params_visual, sown_visual):
+    """Overwrite AffineBN mean/var leaves with the sown torch-momentum
+    running-stat updates (AffineBN sows ('new_mean', 'new_var'))."""
+
+    def rec(p, s):
+        out = dict(p)
+        for k, v in p.items():
+            if isinstance(v, dict) and k in s:
+                sv = s[k]
+                if "new_mean" in sv:
+                    out[k] = {**v, "mean": sv["new_mean"][0],
+                              "var": sv["new_var"][0]}
+                else:
+                    out[k] = rec(v, sv)
+        return out
+
+    return rec(params_visual, sown_visual)
 
 
 def encode_text(model, params, token_ids, normalize: bool = False,
