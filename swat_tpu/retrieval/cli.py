@@ -116,6 +116,29 @@ def cmd_filter_synonyms(args):
     print(f"Wrote {args.output}")
 
 
+def cmd_mine_synonyms(args):
+    """LLM synonym mining (reference query_synonyms.py:16-127) with a
+    pluggable backend: --recorded replays a committed fixture; --openai
+    uses the live API when available."""
+    from swat_tpu.retrieval.query_synonyms import (
+        mine_synonyms,
+        openai_backend,
+        recorded_backend,
+    )
+
+    with open(args.class_names) as f:
+        class_names = json.load(f)
+    if isinstance(class_names, dict):
+        class_names = [class_names[k] for k in
+                       sorted(class_names, key=int)]
+    backend = (recorded_backend(args.recorded) if args.recorded
+               else openai_backend(args.model))
+    out = mine_synonyms(args.dataset, class_names, backend, log=print)
+    with open(args.output, "w") as f:
+        json.dump(out, f, indent=4)
+    print(f"Wrote {args.output} ({len(out)} classes)")
+
+
 def cmd_check_metrics(args):
     """Sanity checks on a metrics json (reference check_metric_file.py:
     every class name must appear among its alternates) + canonical
@@ -264,6 +287,7 @@ def cmd_sample(args):
     from swat_tpu.retrieval.sampler import (
         MinedPool,
         sample_retrieved,
+        sample_retrieved_fused,
         write_debug_lists,
         write_split_file,
     )
@@ -281,7 +305,11 @@ def cmd_sample(args):
         zs_head = class_embedding_matrix(prompts)
 
     t0 = time.time()
-    res = sample_retrieved(
+    # fused = one class-masked matmul + top-k over ALL classes (O(1)
+    # device dispatches); per-class is the reference-shaped oracle loop
+    sampler = (sample_retrieved_fused if args.engine == "fused"
+               else sample_retrieved)
+    res = sampler(
         pool, prompts, strategy=args.strategy,
         num_samples=args.num_samples, threshold=args.threshold,
         t2i_threshold=args.t2i_threshold,
@@ -292,14 +320,36 @@ def cmd_sample(args):
           f"({args.strategy}) in {time.time() - t0:.1f}s")
     write_split_file(args.output, res["file_list"], res["label_list"],
                      relative_to=args.relative_to)
-    write_debug_lists(os.path.dirname(args.output) or ".",
-                      os.path.basename(args.output).rsplit(".", 1)[0], res)
+    prefix = os.path.basename(args.output).rsplit(".", 1)[0]
+    out_dir = os.path.dirname(args.output) or "."
+    write_debug_lists(out_dir, prefix, res)
+    # per-class sampled counts (reference {prefix}_num_imgs_sampled.json,
+    # consumed by the fig3 imbalance plot)
+    with open(os.path.join(out_dir,
+                           f"{prefix}_num_imgs_sampled.json"), "w") as f:
+        json.dump({str(k): v for k, v in res["num_sampled"].items()}, f,
+                  indent=4)
     print(f"Wrote {args.output}")
 
 
 def main(argv=None):
+    from swat_tpu.core.runtime import setup_jax
+
+    setup_jax()
+
     p = argparse.ArgumentParser(description="swat-tpu retrieval pipeline")
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    ms = sub.add_parser("mine-synonyms")
+    ms.add_argument("--dataset", required=True)
+    ms.add_argument("--class_names", required=True,
+                    help="json list of class names (or [sname, cname] "
+                         "pairs for semi-aves)")
+    ms.add_argument("--output", required=True)
+    ms.add_argument("--recorded", default=None,
+                    help="fixture json {label: response} to replay "
+                         "instead of calling an API")
+    ms.add_argument("--model", default="gpt-3.5-turbo")
 
     ck = sub.add_parser("check-metrics")
     ck.add_argument("--metrics", required=True)
@@ -375,6 +425,8 @@ def main(argv=None):
                              "T2T-rank", "T2T-rank-T2I-tshd", "T2T+I2T",
                              "T2T+I2I"])
     sp.add_argument("--num_samples", type=int, default=500)
+    sp.add_argument("--engine", choices=("fused", "per-class"),
+                    default="fused")
     sp.add_argument("--threshold", type=float, default=0.0)
     sp.add_argument("--t2i_threshold", type=float, default=0.25)
     sp.add_argument("--remove_duplicates", action="store_true")
@@ -389,6 +441,7 @@ def main(argv=None):
         p.error("stringmatch needs --captions, --index_dir or --index_path")
     {"stringmatch": cmd_stringmatch, "captionmap": cmd_captionmap,
      "extract": cmd_extract, "sample": cmd_sample, "ingest": cmd_ingest,
+     "mine-synonyms": cmd_mine_synonyms,
      "make-urls": cmd_make_urls,
      "filter-synonyms": cmd_filter_synonyms,
      "check-metrics": cmd_check_metrics}[args.cmd](args)

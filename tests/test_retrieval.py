@@ -245,3 +245,48 @@ def test_check_metrics_cli(tmp_path, capsys):
     text = p.read_text()
     assert text.index('"0"') < text.index('"1"')
     assert "    " in text
+
+
+# ---------------------------------------------------------------------------
+# fused sampler == per-class oracle
+
+
+@pytest.mark.parametrize("strategy", [
+    "T2T-rank", "T2T-rank-T2I-tshd", "I2T-rank", "I2I-rank",
+    "T2T+I2T", "T2T+I2I", "Random", "Random-I2I"])
+def test_fused_sampler_matches_oracle(pool, rng, strategy):
+    """The production fused path (one class-masked matmul + device top-k,
+    VERDICT r2 item 2) must select exactly what the reference-shaped
+    per-class loop selects."""
+    from swat_tpu.retrieval.sampler import sample_retrieved_fused
+
+    mined, prompts = pool
+    fs = {c: rng.normal(size=(4, 16)).astype(np.float32) * 0.1
+          + np.eye(3, 16)[c] for c in range(3)}
+    kw = dict(num_samples=7, threshold=0.005, t2i_threshold=0.3,
+              fewshot_feats_by_class=fs, seed=5)
+    ref = sample_retrieved(mined, prompts, strategy, **kw)
+    got = sample_retrieved_fused(mined, prompts, strategy, **kw)
+    assert got["file_list"] == ref["file_list"]
+    assert got["label_list"] == ref["label_list"]
+    assert got["num_sampled"] == ref["num_sampled"]
+    np.testing.assert_allclose(got["score_list"], ref["score_list"],
+                               rtol=1e-4, atol=1e-6)
+    if strategy not in ("Random", "Random-I2I"):
+        assert got["sampled_info"] == ref["sampled_info"]
+        assert got["filtered_info"] == ref["filtered_info"]
+
+
+def test_fused_sampler_with_filters(pool, rng):
+    """dedup + zero-shot filter as batched masks in the fused path."""
+    from swat_tpu.retrieval.sampler import sample_retrieved_fused
+
+    mined, prompts = pool
+    head = np.stack([prompts[str(c)]["mean"] for c in range(3)])
+    kw = dict(num_samples=10, remove_duplicates=True,
+              zeroshot_filter_head=head)
+    ref = sample_retrieved(mined, prompts, "T2T-rank", **kw)
+    got = sample_retrieved_fused(mined, prompts, "T2T-rank", **kw)
+    assert got["file_list"] == ref["file_list"]
+    assert got["label_list"] == ref["label_list"]
+    assert got["filtered_info"] == ref["filtered_info"]
