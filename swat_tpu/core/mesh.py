@@ -73,3 +73,15 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
 
 def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def resident_sharding(mesh: Optional[Mesh], n: int):
+    """Sharding for resident split arrays of leading size ``n``: shard the
+    example axis over ``data`` when it divides evenly, replicate otherwise
+    (device_put needs even shards; the scan gather re-shards batches
+    anyway via with_sharding_constraint)."""
+    if mesh is None:
+        return None
+    if n % mesh.shape[DATA_AXIS] == 0:
+        return NamedSharding(mesh, P(DATA_AXIS))
+    return NamedSharding(mesh, P())

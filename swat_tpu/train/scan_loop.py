@@ -93,7 +93,8 @@ SCAN_TWIN_METHODS = {"cutmix-fs", "finetune-mixed", "mixup-fs", "CMO"}
 def make_scan_epoch(model: CLIPModel, tx, method: str,
                     loss: LossFn = cross_entropy, *,
                     mixup_alpha: float = 1.0, cutmix_beta: float = 1.0,
-                    mix_prob: float = 0.5, image_size: int = 224):
+                    mix_prob: float = 0.5, image_size: int = 224,
+                    mesh=None):
     """Returns run(state, data, perm, key[, twin_data, twin_perm]) ->
     (state, mean_loss), one device dispatch per epoch.
 
@@ -101,7 +102,18 @@ def make_scan_epoch(model: CLIPModel, tx, method: str,
     twin methods (SCAN_TWIN_METHODS) gather the second batch from a
     second resident dataset (the reference's two-loader pattern, e.g.
     utils/training.py:1566-1620, with CMO's inverse-frequency sampling
-    expressed through the twin permutation)."""
+    expressed through the twin permutation).
+
+    With ``mesh``, every gathered batch is constrained to the ``data``
+    axis so the whole scan epoch runs dp-sharded (GSPMD inserts the
+    cross-shard gather from the resident arrays and the grad psum) —
+    the flagship resident mode uses all chips, not one."""
+    _dsh = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def _dsh(ndim):
+            return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
 
     def one_step(state: TrainState, batch, twin, key):
         k_aug, k_aug2, k_mix = jax.random.split(key, 3)
@@ -176,10 +188,14 @@ def make_scan_epoch(model: CLIPModel, tx, method: str,
                                        step=state.step + 1), val
 
     def _gather(arrays, idx):
-        return {
+        b = {
             "canvases": arrays[0][idx], "valid_hw": arrays[1][idx],
             "labels": arrays[2][idx], "source": arrays[3][idx],
         }
+        if _dsh is not None:
+            b = {k: jax.lax.with_sharding_constraint(v, _dsh(v.ndim))
+                 for k, v in b.items()}
+        return b
 
     @functools.partial(jax.jit, donate_argnums=0, static_argnums=(7,))
     def epoch_fn(state, primary, perm, key, twin, twin_perm, _unused,
@@ -284,7 +300,7 @@ class ResidentEval:
 
 
 def make_scan_eval(model: CLIPModel, num_classes: int, batch_size: int = 256,
-                   loss: LossFn = cross_entropy):
+                   loss: LossFn = cross_entropy, mesh=None):
     """Returns eval_fn(params, head, logit_scale, resident_eval) ->
     (acc%, mean_loss, confusion_matrix) in ONE device dispatch.
 
@@ -293,6 +309,13 @@ def make_scan_eval(model: CLIPModel, num_classes: int, batch_size: int = 256,
     Evaluator path (reference validate computes args.loss,
     testing.py:441-447)."""
     from swat_tpu.eval.validate import _per_sample_loss
+
+    _dsh = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def _dsh(ndim):
+            return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
 
     @jax.jit
     def run(params, head, logit_scale, images_u8, labels, mask, source):
@@ -309,6 +332,11 @@ def make_scan_eval(model: CLIPModel, num_classes: int, batch_size: int = 256,
                                               batch_size)
             sc = jax.lax.dynamic_slice_in_dim(source, i * batch_size,
                                               batch_size)
+            if _dsh is not None:
+                sl = jax.lax.with_sharding_constraint(sl, _dsh(sl.ndim))
+                lb = jax.lax.with_sharding_constraint(lb, _dsh(1))
+                mk = jax.lax.with_sharding_constraint(mk, _dsh(1))
+                sc = jax.lax.with_sharding_constraint(sc, _dsh(1))
             x = aug.normalize(sl)
             from swat_tpu.models import functional as F
 

@@ -208,6 +208,30 @@ class SwatPipeline:
                           n_px=self.model_cfg.vision.image_size,
                           num_workers=self.cfg.num_workers)
 
+    def _cached_extract(self, cfg: RunConfig, params, split_tag: str,
+                        loader_fn):
+        """Persistent pre-extracted feature cache under
+        ``<dataset_root>/pre_extracted/`` keyed by (dataset, model_cfg,
+        split, params digest); ``--recal_fea`` busts it (reference
+        pre_extract_feature, utils/dataloader.py:35-104, whose cache the
+        reference keys only by naming convention — the digest makes a
+        finetuned backbone's features never collide with zero-shot's)."""
+        from swat_tpu.data.features import (
+            extract_or_load,
+            feature_cache_path,
+            params_fingerprint,
+        )
+
+        cache_dir = os.path.join(cfg.dataset_root, "pre_extracted")
+        path = feature_cache_path(
+            cache_dir, cfg.dataset, cfg.model_cfg, split_tag,
+            extra=params_fingerprint(params))
+        return extract_or_load(
+            path, cfg.recal_fea,
+            lambda: extract_image_features(self.model, params, loader_fn(),
+                                           self.mesh),
+            logger=self.logger)
+
     def _features_for(self, split, params, tag: str, train_mode=False):
         """Extract (or reuse) normalized features for a split with the given
         params; cached in memory per (tag)."""
@@ -235,11 +259,17 @@ class SwatPipeline:
         if cfg.resident != "on" and est > cfg.resident_budget_bytes:
             self._resident_eval_cache[tag] = None
             return None
+        from swat_tpu.core.mesh import pad_to_multiple, resident_sharding
+
+        n_pad = pad_to_multiple(max(len(samples), 1), 256)
         ev = ResidentEval.from_samples(samples, cfg.num_classes, n_px=n_px,
-                                       num_workers=cfg.num_workers)
+                                       num_workers=cfg.num_workers,
+                                       sharding=resident_sharding(
+                                           self.mesh, n_pad))
         if self._scan_eval is None:
             self._scan_eval = make_scan_eval(self.model, cfg.num_classes,
-                                             loss=self._loss())
+                                             loss=self._loss(),
+                                             mesh=self.mesh)
         self._resident_eval_cache[tag] = ev
         return ev
 
@@ -278,22 +308,24 @@ class SwatPipeline:
         frozen = method in ("probing", "REAL-Linear", "CMLP")
 
         if frozen:
-            # pre-extract features with the (frozen) current params
-            train_feats = extract_image_features(
-                self.model, params,
-                EvalLoader(self._train_samples(cfg), 256,
-                           image_size, cfg.num_workers), self.mesh)
+            # pre-extract features with the (frozen) current params —
+            # persisted across runs (reference pre_extract_feature,
+            # utils/dataloader.py:35-104), busted by --recal_fea
+            train_feats = self._cached_extract(
+                cfg, params, "train",
+                lambda: EvalLoader(self._train_samples(cfg), 256,
+                                   image_size, cfg.num_workers))
             train_loader = FeatureBatches(
                 train_feats["image_features"], train_feats["labels"],
                 batch_size=cfg.bsz, shuffle=True, drop_last=True,
                 seed=cfg.training_seed,
                 source=train_feats.get("source"))
-            val_feats = extract_image_features(
-                self.model, params, self._eval_loader(cfg.val_split, 256),
-                self.mesh)
-            test_feats = extract_image_features(
-                self.model, params, self._eval_loader(cfg.test_split, 256),
-                self.mesh)
+            val_feats = self._cached_extract(
+                cfg, params, "val",
+                lambda: self._eval_loader(cfg.val_split, 256))
+            test_feats = self._cached_extract(
+                cfg, params, "test",
+                lambda: self._eval_loader(cfg.test_split, 256))
         else:
             train_loader = TrainLoader(
                 self._train_samples(cfg), batch_size=cfg.bsz,
@@ -325,11 +357,16 @@ class SwatPipeline:
             est = (len(samples) + len(twin_samples)) * \
                 CANVAS_SIZE * CANVAS_SIZE * 3
             if cfg.resident == "on" or est <= cfg.resident_budget_bytes:
+                from swat_tpu.core.mesh import resident_sharding
+
                 resident_data = ResidentData.from_samples(
-                    samples, num_workers=cfg.num_workers)
+                    samples, num_workers=cfg.num_workers,
+                    sharding=resident_sharding(self.mesh, len(samples)))
                 if method in SCAN_TWIN_METHODS:
                     resident_twin = ResidentData.from_samples(
-                        twin_samples, num_workers=cfg.num_workers)
+                        twin_samples, num_workers=cfg.num_workers,
+                        sharding=resident_sharding(self.mesh,
+                                                   len(twin_samples)))
                 logger.info(
                     f"Resident train data: {len(samples)}"
                     f"{' + ' + str(len(twin_samples)) if twin_samples else ''}"
@@ -564,7 +601,7 @@ class SwatPipeline:
             scan_epoch = make_scan_epoch(
                 self.model, tx, method, loss, mixup_alpha=cfg.mixup_alpha,
                 cutmix_beta=cfg.cutmix_beta, mix_prob=cfg.mix_prob,
-                image_size=image_size)
+                image_size=image_size, mesh=self.mesh)
             perm_rng = np.random.default_rng(cfg.training_seed)
             twin_bsz = (cfg.bsz if method == "mixup-fs" else
                         max(1, int(cfg.bsz * cfg.fewshot_ratio)))
@@ -810,14 +847,14 @@ class SwatPipeline:
 
         # few-shot train features (reference extracts with the *train*
         # transform and uses the train loader as val, main.py:413-415)
-        fs_loader = EvalLoader(self._samples(cfg.fewshot_data), 128,
+        train_feats = self._cached_extract(
+            cfg, params, "fsprobe",
+            lambda: EvalLoader(self._samples(cfg.fewshot_data), 128,
                                self.model_cfg.vision.image_size,
-                               cfg.num_workers)
-        train_feats = extract_image_features(self.model, params, fs_loader,
-                                             self.mesh)
-        test_feats = extract_image_features(
-            self.model, params, self._eval_loader(cfg.test_split, 256),
-            self.mesh)
+                               cfg.num_workers))
+        test_feats = self._cached_extract(
+            cfg, params, "test",
+            lambda: self._eval_loader(cfg.test_split, 256))
 
         loss = self._loss(stage2)
         train_loader = FeatureBatches(

@@ -115,3 +115,46 @@ def test_tp_sharded_forward_matches_replicated(rng):
         images, NamedSharding(mesh, P("data", None, None, None)))
     out = np.asarray(encode(sharded, images_s))
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_dp_sharded_scan_epoch_matches_single_device(rng):
+    """The resident scan fast path (the flagship execution mode) trains
+    dp-sharded: ResidentData sharded over 'data' + batch sharding
+    constraints inside the scan body must reproduce the single-device
+    epoch exactly (fp32) — VERDICT r2 item 3."""
+    from swat_tpu.core.mesh import resident_sharding
+    from swat_tpu.train.scan_loop import ResidentData, make_scan_epoch
+
+    model = CLIPModel(CFG, precision=FP32_PRECISION)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32),
+        jnp.zeros((1, CFG.text.context_length), jnp.int32))["params"]
+    head = init_head_random(jax.random.PRNGKey(1), 3, CFG.embed_dim)
+
+    n = 32
+    canv = rng.integers(0, 255, (n, 40, 40, 3)).astype(np.uint8)
+    hw = np.full((n, 2), 40, np.int32)
+    labels = rng.integers(0, 3, n).astype(np.int32)
+    source = rng.integers(0, 2, n).astype(np.int32)
+    perm = rng.permutation(n)[:16].reshape(2, 8).astype(np.int32)
+
+    def run(mesh):
+        state, tx = create_train_state(
+            params, head, "cutmix", lr_classifier=1e-3,
+            lr_backbone=1e-4, total_iter=10)
+        sh = resident_sharding(mesh, n)
+        put = (lambda x: jax.device_put(x, sh)) if sh is not None \
+            else jnp.asarray
+        data = ResidentData(put(canv), put(hw), put(labels), put(source))
+        if mesh is not None:
+            state = jax.device_put(state, NamedSharding(mesh, P()))
+        epoch = make_scan_epoch(model, tx, "cutmix", image_size=32,
+                                mesh=mesh)
+        new_state, loss = epoch(state, data, perm, jax.random.PRNGKey(3))
+        return float(loss), np.asarray(new_state.head)
+
+    loss_1, head_1 = run(None)
+    mesh = create_mesh(MeshSpec(data=8, model=1))
+    loss_8, head_8 = run(mesh)
+    assert loss_1 == pytest.approx(loss_8, rel=1e-5)
+    np.testing.assert_allclose(head_1, head_8, rtol=1e-5, atol=1e-7)
