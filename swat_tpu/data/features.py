@@ -86,9 +86,36 @@ def load_features(path: str) -> dict:
     return {k: data[k] for k in data.files}
 
 
-def extract_or_load(path: str, recalc: bool, extract_fn):
+def extract_or_load(path: str, recalc: bool, extract_fn, logger=None):
+    """The reference's pre_extract_feature contract (utils/
+    dataloader.py:35-104): reuse the on-disk features across runs unless
+    ``recalc`` (--recal_fea) busts the cache."""
     if not recalc and os.path.exists(path):
+        if logger:
+            logger.info(f"Loading pre-extracted features: {path}")
         return load_features(path)
     feats = extract_fn()
-    save_features(path, feats)
+    try:
+        save_features(path, feats)
+        if logger:
+            logger.info(f"Saved pre-extracted features: {path}")
+    except OSError as e:  # read-only dataset roots must not kill the run
+        if logger:
+            logger.warning(f"Could not save feature cache {path}: {e}")
     return feats
+
+
+def params_fingerprint(params) -> str:
+    """Cheap stable digest of a param tree — keys the persistent feature
+    cache so a finetuned backbone never reuses zero-shot features (the
+    reference distinguishes these only by directory convention)."""
+    import hashlib
+
+    leaves = jax.tree_util.tree_leaves(params)
+    h = hashlib.sha1()
+    h.update(str(len(leaves)).encode())
+    for leaf in (leaves[0], leaves[len(leaves) // 2], leaves[-1]):
+        a = np.asarray(leaf)
+        h.update(str(a.shape).encode())
+        h.update(a.tobytes())
+    return h.hexdigest()[:10]

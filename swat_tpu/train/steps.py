@@ -52,6 +52,27 @@ def _encode(model, params, images):
     return F.encode_image(model, params, images, normalize=True)
 
 
+def _encode_train(model, params, images):
+    """Training-mode encode: RN50 runs batch-stat BN and returns the
+    sown running-stat updates (reference model.train() semantics,
+    utils/training.py:330); ViT towers have no normalization state."""
+    from swat_tpu.models import functional as F
+
+    if F._is_vit(model):
+        return F.encode_image(model, params, images, normalize=True), None
+    return F.encode_image_bn_train(model, params, images)
+
+
+def _fold_bn(state: TrainState, bn_upd):
+    if not bn_upd:
+        return state
+    from swat_tpu.models import functional as F
+
+    model = dict(state.model)
+    model["visual"] = F.apply_bn_updates(model["visual"], bn_upd)
+    return state.replace(model=model)
+
+
 def _scaled_logits(head, logit_scale, feats):
     return head_logits(head, feats) * jnp.exp(logit_scale)
 
@@ -130,13 +151,15 @@ def make_ce_step(model: CLIPModel, tx, loss: LossFn = cross_entropy,
                     [images, _get_images(twin, k2, image_size)], axis=0)
                 labels = jnp.concatenate([labels, twin["labels"]], axis=0)
                 source = jnp.concatenate([source, twin["source"]], axis=0)
-            feats = _encode(model, trainable["model"], images)
+            feats, bn_upd = _encode_train(model, trainable["model"],
+                                          images)
             logits = _scaled_logits(trainable["head"],
                                     trainable["logit_scale"], feats)
-            return loss(logits, labels, source)
+            return loss(logits, labels, source), bn_upd
 
-        val, grads = jax.value_and_grad(loss_fn)(state.trainable)
-        return _apply_update(tx, state, grads), val
+        (val, bn_upd), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.trainable)
+        return _fold_bn(_apply_update(tx, state, grads), bn_upd), val
 
     return step
 
@@ -211,15 +234,19 @@ def make_mixing_step(model: CLIPModel, tx, method: str,
             else:
                 raise NotImplementedError(method)
 
-            feats = _encode(model, trainable["model"], images)
+            feats, bn_upd = _encode_train(model, trainable["model"],
+                                          images)
             logits = _scaled_logits(trainable["head"],
                                     trainable["logit_scale"], feats)
             if lam_vec is not None:
-                return mixup_criterion_lam_vector(logits, y_a, y_b, lam_vec)
-            return mixup_criterion(loss, logits, y_a, y_b, lam, source)
+                return (mixup_criterion_lam_vector(logits, y_a, y_b,
+                                                   lam_vec), bn_upd)
+            return (mixup_criterion(loss, logits, y_a, y_b, lam, source),
+                    bn_upd)
 
-        val, grads = jax.value_and_grad(loss_fn)(state.trainable)
-        return _apply_update(tx, state, grads), val
+        (val, bn_upd), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.trainable)
+        return _fold_bn(_apply_update(tx, state, grads), bn_upd), val
 
     return step
 
@@ -303,7 +330,8 @@ def make_dataset_cls_step(model: CLIPModel, tx,
 
 
 def make_fixmatch_step(model: CLIPModel, tx, *, threshold: float = 0.95,
-                       lambda_u: float = 1.0, image_size: int = 224):
+                       lambda_u: float = 1.0, image_size: int = 224,
+                       aux: bool = False):
     """FixMatch (reference train_fixmatch, utils/training.py:820-983):
     labeled CE + confidence-masked consistency between weak/strong views.
     The weak/strong unlabeled views are produced on-device from one set of
@@ -351,9 +379,14 @@ def make_fixmatch_step(model: CLIPModel, tx, *, threshold: float = 0.95,
             logp_s = jax.nn.log_softmax(logits_u_s.astype(jnp.float32), -1)
             per = -jnp.take_along_axis(logp_s, targets[:, None], 1)[:, 0]
             loss_u = (per * mask).mean()
-            return loss_l + lambda_u * loss_u
+            return loss_l + lambda_u * loss_u, (mask.mean(), loss_u)
 
-        val, grads = jax.value_and_grad(loss_fn)(state.trainable)
+        (val, extras), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.trainable)
+        if aux:
+            # (pseudo-label mask rate, consistency loss) for tests /
+            # diagnostics (reference logs mask_w.mean(), training.py:908)
+            return _apply_update(tx, state, grads), (val, *extras)
         return _apply_update(tx, state, grads), val
 
     return step

@@ -166,3 +166,148 @@ def test_weighted_ce_probing_uses_real_source(pipeline):
     # with the old -1 source flags every weight was 2-fw = 0 -> no
     # learning signal at all; now training must move the head
     assert best.val_acc > 0.0
+
+
+def test_persistent_feature_cache(pipeline):
+    """Frozen-method feature extraction persists across runs and
+    --recal_fea busts it (reference pre_extract_feature,
+    utils/dataloader.py:35-104; VERDICT r2 item 7)."""
+    import glob
+    import time as _time
+
+    best1 = _run(pipeline, method="probing", epochs=1)
+    cache_dir = os.path.join(pipeline.cfg.dataset_root, "pre_extracted")
+    files = sorted(glob.glob(os.path.join(cache_dir, "*.npz")))
+    assert files, "no persistent feature cache written"
+    mtimes = {f: os.path.getmtime(f) for f in files}
+
+    _time.sleep(0.05)
+    best2 = _run(pipeline, method="probing", epochs=1)
+    assert best2.val_acc == pytest.approx(best1.val_acc, abs=1e-6)
+    for f in files:  # untouched -> loaded from disk, not re-extracted
+        assert os.path.getmtime(f) == mtimes[f]
+
+    _time.sleep(0.05)
+    _run(pipeline, method="probing", epochs=1, recal_fea=True)
+    assert any(os.path.getmtime(f) != mtimes[f] for f in files), \
+        "--recal_fea did not re-extract"
+
+
+# ---------------------------------------------------------------------------
+# method-semantics assertions (VERDICT r2 item 5): tie each method's
+# DISTINCT behavior to its name, beyond "doesn't crash"
+
+
+@pytest.mark.parametrize("method,source,epochs", [
+    ("finetune", "fewshot", 3),
+    ("cutmix", "fewshot", 3),
+    ("mixup", "fewshot", 3),
+    ("resizemix", "fewshot", 3),
+    ("probing", "fewshot", 3),
+    ("CMLP", "fewshot", 3),
+    ("cutmix-fs", "fewshot+retrieved", 3),
+    ("CMO", "fewshot+retrieved", 3),
+])
+def test_method_beats_chance(pipeline, method, source, epochs):
+    """Color-separable 3-class data: every trainable method must beat
+    chance (33.3%) after a few epochs — a renamed method or degenerate
+    mixing op fails this."""
+    best = _run(pipeline, method=method, data_source=source,
+                epochs=epochs, bsz=4)
+    assert best.val_acc > 40.0, (method, best.val_acc)
+
+
+def test_fixmatch_mask_rate_engages(pipeline):
+    """The pseudo-label confidence gate must actually open for confident
+    predictions (reference mask_w semantics, utils/training.py:896-908):
+    with an amplified head, weak-view confidences pass 0.95 and the
+    consistency loss becomes nonzero."""
+    import jax
+    import jax.numpy as jnp
+
+    from swat_tpu.train import steps as S
+    from swat_tpu.train.state import create_train_state
+
+    cfg = pipeline.cfg
+    model = pipeline.model
+    params = pipeline.params
+    # amplify the head so softmax(logits) saturates past the threshold
+    # (fresh param copies per state: the jitted step donates its input)
+    head = pipeline.head * 2000.0
+    copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
+    state, tx = create_train_state(copy(params), head, "fixmatch",
+                                   lr_classifier=1e-3, lr_backbone=1e-4,
+                                   total_iter=4)
+    step = S.make_fixmatch_step(
+        model, tx, image_size=model.cfg.vision.image_size, aux=True)
+    rng = np.random.default_rng(0)
+    n, canvas = 4, 40
+    batch = {
+        "canvases": rng.integers(0, 255, (n, canvas, canvas, 3)
+                                 ).astype(np.uint8),
+        "valid_hw": np.full((n, 2), canvas, np.int32),
+        "labels": rng.integers(0, NUM_CLASSES, n).astype(np.int32),
+        "source": np.ones(n, np.int32),
+        "canvases_u": rng.integers(0, 255, (n, canvas, canvas, 3)
+                                   ).astype(np.uint8),
+        "valid_hw_u": np.full((n, 2), canvas, np.int32),
+    }
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    _, (loss, mask_rate, loss_u) = step(state, batch,
+                                        jax.random.PRNGKey(0))
+    assert float(mask_rate) > 0.0
+    assert np.isfinite(float(loss))
+
+    # consistency loss engages when the gate is open and predictions are
+    # not fully saturated: threshold=0 opens every row at amp=1
+    state1, _ = create_train_state(copy(params), pipeline.head,
+                                   "fixmatch",
+                                   lr_classifier=1e-3, lr_backbone=1e-4,
+                                   total_iter=4)
+    step0 = S.make_fixmatch_step(
+        model, tx, threshold=0.0,
+        image_size=model.cfg.vision.image_size, aux=True)
+    _, (_, mask0, loss_u0) = step0(state1, batch, jax.random.PRNGKey(0))
+    assert float(mask0) == 1.0
+    assert float(loss_u0) > 0.0
+
+    # and with an impossible threshold the gate must stay closed
+    # (fresh state again: the jitted step donated the previous one)
+    state2, _ = create_train_state(copy(params), head, "fixmatch",
+                                   lr_classifier=1e-3, lr_backbone=1e-4,
+                                   total_iter=4)
+    step_hi = S.make_fixmatch_step(
+        model, tx, threshold=2.0,
+        image_size=model.cfg.vision.image_size, aux=True)
+    _, (_, mask_hi, loss_u_hi) = step_hi(state2, batch,
+                                         jax.random.PRNGKey(0))
+    assert float(mask_hi) == 0.0 and float(loss_u_hi) == 0.0
+
+
+def test_scan_methods_route_their_mix_op(pipeline, monkeypatch):
+    """Each resident-scan method must trace ITS mixing kernel: 'cutmix'
+    traces aug.cutmix, 'finetune' must not, 'mixup' traces aug.mixup
+    (guards the method dispatch in scan_loop.make_scan_epoch)."""
+    from swat_tpu.kernels import augment as aug_mod
+
+    calls = []
+    real_cutmix, real_mixup = aug_mod.cutmix, aug_mod.mixup
+
+    def spy_cutmix(*a, **k):
+        calls.append("cutmix")
+        return real_cutmix(*a, **k)
+
+    def spy_mixup(*a, **k):
+        calls.append("mixup")
+        return real_mixup(*a, **k)
+
+    monkeypatch.setattr(aug_mod, "cutmix", spy_cutmix)
+    monkeypatch.setattr(aug_mod, "mixup", spy_mixup)
+
+    _run(pipeline, method="finetune", epochs=1)
+    assert calls == []
+    _run(pipeline, method="cutmix", epochs=1)
+    assert "cutmix" in calls and "mixup" not in calls
+    calls.clear()
+    _run(pipeline, method="mixup", epochs=1)
+    assert "mixup" in calls and "cutmix" not in calls
