@@ -94,6 +94,15 @@ def main(argv=None):
     lb.add_argument("--split_json", required=True)
     lb.add_argument("--prefix", default="")
 
+    # per-benchmark creators with dataset-specific quirks (reference
+    # prepare_datasets_labels.py:47-284; swat_tpu.data.creators)
+    cr = sub.add_parser("create")
+    cr.add_argument("--dataset", required=True)
+    cr.add_argument("--raw_root", required=True,
+                    help="root of the raw dataset downloads (the "
+                         "reference's config.yml dataset_path)")
+    cr.add_argument("--dataset_path", default="data")
+
     cl = sub.add_parser("cleanup")
     cl.add_argument("--dataset", required=True)
     cl.add_argument("--dataset_path", default="data")
@@ -106,6 +115,10 @@ def main(argv=None):
                 random_sample_fewshot(ddir, args.dataset, shots, seed)
     elif args.cmd == "labels":
         create_labels_from_split_json(ddir, args.split_json, args.prefix)
+    elif args.cmd == "create":
+        from swat_tpu.data.creators import create_labels
+
+        create_labels(args.dataset, args.raw_root, ddir)
     elif args.cmd == "cleanup":
         cleanup(ddir)
 
