@@ -1,0 +1,186 @@
+"""Golden-feature parity without assets (VERDICT r2 item 4): an
+INDEPENDENT torch implementation of the OpenCLIP forward (written here
+from the architecture spec — quickgelu, pre-LN, eps=1e-5, torch
+in_proj conventions) generates a real OpenCLIP-format state dict with
+seeded weights; the repo's loader converts it and the JAX towers must
+reproduce the torch features to fp32 rounding on every CI run.
+
+This exercises the exact contract `tests/test_real_weights.py` checks
+with the real laion400m_e32 checkpoint (feature cosine >= 1-1e-5,
+reference utils/features.py:39-64) — but runs asset-free: the oracle is
+the same torch math OpenCLIP executes, so a key-mapping, transpose, or
+activation divergence in the loader/towers fails here.
+"""
+
+import math
+
+import numpy as np
+import pytest
+import torch
+
+from swat_tpu.core.precision import FP32_PRECISION
+from swat_tpu.models import functional as F
+from swat_tpu.models.configs import CLIPConfig, TextConfig, VisionConfig
+from swat_tpu.models.loader import torch_state_dict_to_params
+
+torch.manual_seed(0)
+
+W, LAYERS, HEADS, EMBED = 64, 2, 4, 48
+PATCH, IMG = 16, 32
+CTX, VOCAB = 12, 100
+
+CFG = CLIPConfig(
+    name="oracle-tiny",
+    vision=VisionConfig(image_size=IMG, patch_size=PATCH, width=W,
+                        layers=LAYERS, heads=HEADS, embed_dim=EMBED,
+                        quick_gelu=True),
+    text=TextConfig(context_length=CTX, vocab_size=VOCAB, width=W,
+                    layers=LAYERS, heads=HEADS, embed_dim=EMBED,
+                    quick_gelu=True),
+)
+
+
+# --------------------------------------------------------------------------
+# the torch oracle (OpenCLIP VisionTransformer / text transformer math)
+
+
+def _attn(x, sd, pre):
+    """torch F.multi_head_attention_forward semantics: qkv from
+    in_proj_weight [3D, D] (y = x @ W^T + b), per-head softmax."""
+    d = x.shape[-1]
+    hd = d // HEADS
+    qkv = x @ sd[f"{pre}.attn.in_proj_weight"].T + \
+        sd[f"{pre}.attn.in_proj_bias"]
+    q, k, v = qkv.chunk(3, dim=-1)
+
+    def heads(t):  # [B, S, D] -> [B, H, S, hd]
+        b, s, _ = t.shape
+        return t.reshape(b, s, HEADS, hd).transpose(1, 2)
+
+    q, k, v = heads(q), heads(k), heads(v)
+    scores = q @ k.transpose(-1, -2) / math.sqrt(hd)
+    if pre.startswith("transformer."):  # text tower is causal
+        s = scores.shape[-1]
+        mask = torch.triu(torch.full((s, s), float("-inf")), diagonal=1)
+        scores = scores + mask
+    p = scores.softmax(dim=-1)
+    o = (p @ v).transpose(1, 2).reshape(x.shape)
+    return o @ sd[f"{pre}.attn.out_proj.weight"].T + \
+        sd[f"{pre}.attn.out_proj.bias"]
+
+
+def _ln(x, sd, name):
+    return torch.nn.functional.layer_norm(
+        x, (x.shape[-1],), sd[f"{name}.weight"], sd[f"{name}.bias"], 1e-5)
+
+
+def _block(x, sd, pre):
+    x = x + _attn(_ln(x, sd, f"{pre}.ln_1"), sd, pre)
+    h = _ln(x, sd, f"{pre}.ln_2")
+    h = h @ sd[f"{pre}.mlp.c_fc.weight"].T + sd[f"{pre}.mlp.c_fc.bias"]
+    h = h * torch.sigmoid(1.702 * h)            # quickgelu
+    return x + h @ sd[f"{pre}.mlp.c_proj.weight"].T + \
+        sd[f"{pre}.mlp.c_proj.bias"]
+
+
+def oracle_encode_image(sd, images):
+    """images [B, H, W, 3] float -> normalized features (OpenCLIP
+    VisionTransformer.forward)."""
+    x = torch.nn.functional.conv2d(
+        images.permute(0, 3, 1, 2), sd["visual.conv1.weight"],
+        stride=PATCH)                            # [B, W, gh, gw]
+    b, w, gh, gw = x.shape
+    x = x.reshape(b, w, gh * gw).permute(0, 2, 1)
+    cls = sd["visual.class_embedding"].expand(b, 1, w)
+    x = torch.cat([cls, x], dim=1) + sd["visual.positional_embedding"]
+    x = _ln(x, sd, "visual.ln_pre")
+    for i in range(LAYERS):
+        x = _block(x, sd, f"visual.transformer.resblocks.{i}")
+    x = _ln(x[:, 0], sd, "visual.ln_post") @ sd["visual.proj"]
+    return x / x.norm(dim=-1, keepdim=True)
+
+
+def oracle_encode_text(sd, tokens):
+    x = sd["token_embedding.weight"][tokens] + sd["positional_embedding"]
+    for i in range(LAYERS):
+        x = _block(x, sd, f"transformer.resblocks.{i}")
+    x = _ln(x, sd, "ln_final")
+    eot = tokens.argmax(dim=-1)
+    x = x[torch.arange(x.shape[0]), eot] @ sd["text_projection"]
+    return x / x.norm(dim=-1, keepdim=True)
+
+
+@pytest.fixture(scope="module")
+def oracle_sd():
+    g = torch.Generator().manual_seed(7)
+
+    def r(*shape, scale=0.05):
+        return torch.randn(*shape, generator=g) * scale
+
+    sd = {
+        "visual.conv1.weight": r(W, 3, PATCH, PATCH),
+        "visual.class_embedding": r(W),
+        "visual.positional_embedding": r((IMG // PATCH) ** 2 + 1, W),
+        "visual.ln_pre.weight": 1 + r(W), "visual.ln_pre.bias": r(W),
+        "visual.ln_post.weight": 1 + r(W), "visual.ln_post.bias": r(W),
+        "visual.proj": r(W, EMBED),
+        "token_embedding.weight": r(VOCAB, W),
+        "positional_embedding": r(CTX, W),
+        "ln_final.weight": 1 + r(W), "ln_final.bias": r(W),
+        "text_projection": r(W, EMBED),
+        "logit_scale": torch.tensor(float(np.log(1 / 0.07))),
+    }
+    for tower, pre in [("visual.transformer", LAYERS),
+                       ("transformer", LAYERS)]:
+        for i in range(pre):
+            p = f"{tower}.resblocks.{i}"
+            sd.update({
+                f"{p}.ln_1.weight": 1 + r(W), f"{p}.ln_1.bias": r(W),
+                f"{p}.ln_2.weight": 1 + r(W), f"{p}.ln_2.bias": r(W),
+                f"{p}.attn.in_proj_weight": r(3 * W, W, scale=0.1),
+                f"{p}.attn.in_proj_bias": r(3 * W),
+                f"{p}.attn.out_proj.weight": r(W, W, scale=0.1),
+                f"{p}.attn.out_proj.bias": r(W),
+                f"{p}.mlp.c_fc.weight": r(4 * W, W, scale=0.1),
+                f"{p}.mlp.c_fc.bias": r(4 * W),
+                f"{p}.mlp.c_proj.weight": r(W, 4 * W, scale=0.1),
+                f"{p}.mlp.c_proj.bias": r(W),
+            })
+    return sd
+
+
+@pytest.fixture(scope="module")
+def converted(oracle_sd):
+    params, logit_scale = torch_state_dict_to_params(
+        oracle_sd, vision_layers=LAYERS, text_layers=LAYERS)
+    assert logit_scale == pytest.approx(float(np.log(1 / 0.07)))
+    return params
+
+
+@pytest.mark.parametrize("use_mega", [False, True],
+                         ids=["functional", "megakernel"])
+def test_image_features_match_torch(oracle_sd, converted, use_mega):
+    images = torch.randn(4, IMG, IMG, 3,
+                         generator=torch.Generator().manual_seed(3))
+    ref = oracle_encode_image(oracle_sd, images).detach().numpy()
+    got = np.asarray(F.vit_encode_image(
+        converted["visual"], images.numpy(), CFG.vision, FP32_PRECISION,
+        normalize=True, use_mega=use_mega))
+    cos = (ref * got).sum(-1)
+    assert cos.min() >= 1 - 1e-5
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-5)
+
+
+@pytest.mark.parametrize("use_mega", [False, True],
+                         ids=["functional", "megakernel"])
+def test_text_features_match_torch(oracle_sd, converted, use_mega):
+    g = torch.Generator().manual_seed(4)
+    tokens = torch.randint(1, VOCAB - 1, (5, CTX), generator=g)
+    tokens[:, 7] = VOCAB - 1   # EOT = highest id at a known position
+    ref = oracle_encode_text(oracle_sd, tokens).detach().numpy()
+    got = np.asarray(F.text_encode(
+        converted["text"], tokens.numpy(), CFG.text, FP32_PRECISION,
+        normalize=True, use_mega=use_mega))
+    cos = (ref * got).sum(-1)
+    assert cos.min() >= 1 - 1e-5
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-5)
