@@ -301,8 +301,15 @@ class CLIPModel(nn.Module):
         self.text = TextTower(self.cfg.text, self.precision,
                               self.remat, self.use_pallas, self.unroll)
 
-    def encode_image(self, images, normalize: bool = False):
-        feats = self.visual(images)
+    def encode_image(self, images, normalize: bool = False,
+                     train: bool = False):
+        from swat_tpu.models.resnet import ModifiedResNet
+
+        if isinstance(self.visual, ModifiedResNet):
+            # train=True -> batch-stat BN + sown running-stat updates
+            feats = self.visual(images, True, train)
+        else:
+            feats = self.visual(images)
         return _maybe_normalize(feats, normalize)
 
     def encode_image_tokens(self, images):

@@ -188,13 +188,24 @@ def params_to_torch_state_dict(params: Mapping[str, Any],
 
 def fold_bn(sd: Mapping[str, Any], prefix: str, eps: float = 1e-5):
     """BatchNorm -> frozen-stats affine: a = gamma/sqrt(var+eps),
-    b = beta - mean*a (see swat_tpu.models.resnet.AffineBN)."""
+    b = beta - mean*a.  Retained as the eval-equivalence oracle for
+    AffineBN's running-stat path (tests/test_resnet.py)."""
     gamma = _np(sd[f"{prefix}.weight"]).astype(np.float32)
     beta = _np(sd[f"{prefix}.bias"]).astype(np.float32)
     mean = _np(sd[f"{prefix}.running_mean"]).astype(np.float32)
     var = _np(sd[f"{prefix}.running_var"]).astype(np.float32)
     a = gamma / np.sqrt(var + eps)
     return {"scale": a, "bias": beta - mean * a}
+
+
+def bn_params(sd: Mapping[str, Any], prefix: str):
+    """torch BatchNorm tensors -> AffineBN params: gamma/beta plus the
+    running statistics as frozen params leaves (batch-stat training reads
+    and momentum-updates them; eval normalizes by them)."""
+    return {"scale": _np(sd[f"{prefix}.weight"]).astype(np.float32),
+            "bias": _np(sd[f"{prefix}.bias"]).astype(np.float32),
+            "mean": _np(sd[f"{prefix}.running_mean"]).astype(np.float32),
+            "var": _np(sd[f"{prefix}.running_var"]).astype(np.float32)}
 
 
 def _conv_kernel(sd, key):
@@ -210,18 +221,18 @@ def torch_rn50_visual_to_params(sd: Mapping[str, Any],
     v: dict = {}
     for i in (1, 2, 3):
         v[f"conv{i}"] = _conv_kernel(sd, f"visual.conv{i}.weight")
-        v[f"bn{i}"] = fold_bn(sd, f"visual.bn{i}")
+        v[f"bn{i}"] = bn_params(sd, f"visual.bn{i}")
     for stage, blocks in enumerate(layers):
         for i in range(blocks):
             pre = f"visual.layer{stage + 1}.{i}"
             blk = {}
             for j in (1, 2, 3):
                 blk[f"conv{j}"] = _conv_kernel(sd, f"{pre}.conv{j}.weight")
-                blk[f"bn{j}"] = fold_bn(sd, f"{pre}.bn{j}")
+                blk[f"bn{j}"] = bn_params(sd, f"{pre}.bn{j}")
             if f"{pre}.downsample.0.weight" in sd:
                 blk["down_conv"] = _conv_kernel(
                     sd, f"{pre}.downsample.0.weight")
-                blk["down_bn"] = fold_bn(sd, f"{pre}.downsample.1")
+                blk["down_bn"] = bn_params(sd, f"{pre}.downsample.1")
             v[f"layer{stage + 1}_{i}"] = blk
     ap = "visual.attnpool"
     v["attnpool"] = {

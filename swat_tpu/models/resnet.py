@@ -5,13 +5,11 @@ reference utils/extras.py:107,116-120) use OpenAI's modified ResNet: a
 3-conv stem with blur-free avgpool, bottleneck blocks whose strided path is
 avgpool->conv, and an attention-pooling head instead of GAP.
 
-BatchNorm is folded to a frozen-stats affine at load time
-(`swat_tpu.models.loader.fold_bn`): y = x*a + b with
-a = gamma/sqrt(running_var+eps), b = beta - running_mean*a.  Training then
-updates (a, b) — equivalent to training gamma/beta with frozen statistics
-(eval-mode BN finetuning).  True batch-stat training is not implemented;
-the reference's RN50 appears in zero-shot/probing baselines where stats
-stay frozen anyway.
+BatchNorm keeps torch semantics (AffineBN): running statistics live as
+frozen params leaves, eval normalizes by them (identical to a folded
+affine), and RN50 finetuning passes train=True so batch statistics drive
+normalization and the torch-momentum running-stat updates are sown for
+the train step to fold back (steps.bn_updates_from_intermediates).
 """
 
 from __future__ import annotations
@@ -42,19 +40,58 @@ class ResNetConfig:
 
 
 class AffineBN(nn.Module):
-    """Frozen-statistics BatchNorm: per-channel scale + bias."""
+    """BatchNorm with torch semantics (momentum 0.1, eps 1e-5).
+
+    The running statistics live as PARAMS leaves (``mean``/``var``,
+    labeled 'frozen' by the optimizer so they are never gradient-updated
+    or weight-decayed) — every params-only code path (eval, features,
+    checkpoints, TP specs) works unchanged.
+
+    ``train=False`` (default) normalizes with the running statistics —
+    mathematically identical to the round-2 folded affine, so zero-shot /
+    probing / frozen-backbone behavior is unchanged.  ``train=True``
+    normalizes with BATCH statistics (gradients flow through them, true
+    BN training) and sows the torch-momentum-updated running values
+    (running = (1-m)*running + m*batch, UNBIASED variance for the
+    update, biased for normalization) into the ``intermediates``
+    collection for the train step to fold back into the param tree
+    (reference RN50 finetunes run model.train() with live BN — VERDICT
+    r2 item 6)."""
 
     features: int
     precision: Precision = DEFAULT_PRECISION
+    momentum: float = 0.1
+    eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x):
-        a = self.param("scale", nn.initializers.ones, (self.features,),
-                       jnp.float32)
-        b = self.param("bias", nn.initializers.zeros, (self.features,),
-                       jnp.float32)
+    def __call__(self, x, train: bool = False):
+        gamma = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        beta = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        r_mean = self.param("mean", nn.initializers.zeros,
+                            (self.features,), jnp.float32)
+        r_var = self.param("var", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        if train:
+            x32 = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = x32.mean(axis=axes)
+            var = x32.var(axis=axes)          # biased, used to normalize
+            n = x.size // self.features
+            unbiased = var * (n / max(n - 1, 1))
+            m = self.momentum
+            self.sow("intermediates", "new_mean", jax.lax.stop_gradient(
+                (1 - m) * r_mean + m * mean))
+            self.sow("intermediates", "new_var", jax.lax.stop_gradient(
+                (1 - m) * r_var + m * unbiased))
+        else:
+            mean, var = r_mean, r_var
         dt = self.precision.compute_dtype
-        return x * a.astype(dt) + b.astype(dt)
+        rstd = jax.lax.rsqrt(var + self.eps)
+        a = (gamma * rstd).astype(dt)
+        b = (beta - mean * gamma * rstd).astype(dt)
+        return x * a + b
 
 
 class _Conv(nn.Module):
@@ -86,24 +123,24 @@ class Bottleneck(nn.Module):
     expansion: int = 4
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         p = self.precision
         out = nn.relu(AffineBN(self.planes, p, name="bn1")(
-            _Conv(self.planes, 1, precision=p, name="conv1")(x)))
+            _Conv(self.planes, 1, precision=p, name="conv1")(x), train))
         out = nn.relu(AffineBN(self.planes, p, name="bn2")(
-            _Conv(self.planes, 3, precision=p, name="conv2")(out)))
+            _Conv(self.planes, 3, precision=p, name="conv2")(out), train))
         if self.stride > 1:  # anti-aliased stride: avgpool then 1x1 conv
             out = _avg_pool(out, self.stride)
         out = AffineBN(self.planes * self.expansion, p, name="bn3")(
             _Conv(self.planes * self.expansion, 1, precision=p,
-                  name="conv3")(out))
+                  name="conv3")(out), train)
         identity = x
         if self.downsample:
             identity = _avg_pool(x, self.stride) if self.stride > 1 else x
             identity = AffineBN(self.planes * self.expansion, p,
                                 name="down_bn")(
                 _Conv(self.planes * self.expansion, 1, precision=p,
-                      name="down_conv")(identity))
+                      name="down_conv")(identity), train)
         return nn.relu(out + identity)
 
 
@@ -160,17 +197,17 @@ class ModifiedResNet(nn.Module):
     precision: Precision = DEFAULT_PRECISION
 
     @nn.compact
-    def __call__(self, images, pool: bool = True):
+    def __call__(self, images, pool: bool = True, train: bool = False):
         cfg = self.cfg
         p = self.precision
         x = images.astype(p.compute_dtype)
         # 3-conv stem (stride 2 on conv1) + avgpool
         x = nn.relu(AffineBN(cfg.width // 2, p, name="bn1")(
-            _Conv(cfg.width // 2, 3, 2, p, name="conv1")(x)))
+            _Conv(cfg.width // 2, 3, 2, p, name="conv1")(x), train))
         x = nn.relu(AffineBN(cfg.width // 2, p, name="bn2")(
-            _Conv(cfg.width // 2, 3, 1, p, name="conv2")(x)))
+            _Conv(cfg.width // 2, 3, 1, p, name="conv2")(x), train))
         x = nn.relu(AffineBN(cfg.width, p, name="bn3")(
-            _Conv(cfg.width, 3, 1, p, name="conv3")(x)))
+            _Conv(cfg.width, 3, 1, p, name="conv3")(x), train))
         x = _avg_pool(x, 2)
 
         planes = cfg.width
@@ -179,7 +216,7 @@ class ModifiedResNet(nn.Module):
             for i in range(blocks):
                 x = Bottleneck(planes, stride=stride if i == 0 else 1,
                                downsample=(i == 0), precision=p,
-                               name=f"layer{stage + 1}_{i}")(x)
+                               name=f"layer{stage + 1}_{i}")(x, train)
             planes *= 2
 
         return AttentionPool2d(cfg.width * 32, cfg.embed_dim, cfg.heads,

@@ -101,6 +101,21 @@ FROZEN_METHODS = {"zeroshot", "probing", "REAL-Linear", "CMLP"}
 LOG100 = 4.60517  # ln(100), fixed logit_scale for frozen methods (:51,58)
 
 
+def _freeze_bn_stats(params, labels):
+    """BN running statistics (AffineBN mean/var leaves) are state, not
+    weights: force their label to 'frozen' whatever the method says (no
+    AdamW step, no weight decay)."""
+
+    def fix(path, _leaf, label):
+        names = [getattr(k, "key", str(k)) for k in path]
+        if names[-1] in ("mean", "var") and any(
+                n.startswith("bn") or n == "down_bn" for n in names):
+            return "frozen"
+        return label
+
+    return jax.tree_util.tree_map_with_path(fix, params, labels)
+
+
 def label_params(params, method: str, locked_text: bool = False) -> Dict:
     """Label the *model* param tree. The head / logit_scale leaves are
     labeled by the train state itself (swat_tpu.train.state)."""
@@ -113,10 +128,10 @@ def label_params(params, method: str, locked_text: bool = False) -> Dict:
 
     if method in FINETUNE_METHODS:
         # visual tower trains, text tower locked (lock_text_tower, :12-19)
-        return {
+        return _freeze_bn_stats(params, {
             "visual": const("backbone")(params["visual"]),
             "text": const("frozen")(params["text"]),
-        }
+        })
 
     if method == "FLYP":
         vis = const("backbone")(params["visual"])
@@ -128,7 +143,7 @@ def label_params(params, method: str, locked_text: bool = False) -> Dict:
         else:
             txt = const("backbone")(params["text"])
             txt["text_projection"] = "projector"
-        return {"visual": vis, "text": txt}
+        return _freeze_bn_stats(params, {"visual": vis, "text": txt})
 
     raise NotImplementedError(f"Method {method} not implemented.")
 

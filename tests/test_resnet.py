@@ -121,3 +121,103 @@ def test_rn50_load_and_forward(rng):
         jnp.zeros((2, 77), jnp.int32).at[:, 0].set(49406).at[:, 5].set(49407),
         True, method=CLIPModel.encode_text)
     assert txt.shape == (2, 1024)
+
+
+def test_affine_bn_train_matches_torch(rng):
+    """AffineBN train-mode normalization AND the sown running-stat
+    updates must reproduce torch.nn.BatchNorm2d (momentum 0.1, unbiased
+    running var) — VERDICT r2 item 6."""
+    import torch
+
+    from swat_tpu.models.resnet import AffineBN
+
+    c = 8
+    x = rng.normal(size=(4, 5, 5, c)).astype(np.float32)
+    gamma = rng.normal(1, 0.1, c).astype(np.float32)
+    beta = rng.normal(0, 0.1, c).astype(np.float32)
+    r_mean = rng.normal(0, 0.1, c).astype(np.float32)
+    r_var = rng.uniform(0.5, 1.5, c).astype(np.float32)
+
+    tbn = torch.nn.BatchNorm2d(c)
+    with torch.no_grad():
+        tbn.weight.copy_(torch.tensor(gamma))
+        tbn.bias.copy_(torch.tensor(beta))
+        tbn.running_mean.copy_(torch.tensor(r_mean))
+        tbn.running_var.copy_(torch.tensor(r_var))
+    tbn.train()
+    tx = torch.tensor(x).permute(0, 3, 1, 2)
+    ty = tbn(tx).permute(0, 2, 3, 1).detach().numpy()
+
+    bn = AffineBN(c, FP32_PRECISION)
+    params = {"scale": gamma, "bias": beta, "mean": r_mean, "var": r_var}
+    y, inter = bn.apply({"params": params}, jnp.asarray(x), True,
+                        mutable=["intermediates"])
+    np.testing.assert_allclose(np.asarray(y), ty, rtol=1e-4, atol=1e-5)
+    sown = inter["intermediates"]
+    np.testing.assert_allclose(np.asarray(sown["new_mean"][0]),
+                               tbn.running_mean.numpy(), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sown["new_var"][0]),
+                               tbn.running_var.numpy(), rtol=1e-5,
+                               atol=1e-6)
+
+    # eval mode == the folded-affine math, bit-for-bit contract
+    y_eval = bn.apply({"params": params}, jnp.asarray(x), False)
+    a = gamma / np.sqrt(r_var + 1e-5)
+    np.testing.assert_allclose(np.asarray(y_eval),
+                               x * a + (beta - r_mean * a),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_rn50_finetune_step_updates_running_stats(rng):
+    """A CE finetune step on the RN50 tower must (a) train BN gamma/beta,
+    (b) momentum-update the running statistics, (c) never gradient-update
+    the statistics themselves."""
+    from swat_tpu.train import steps as S
+    from swat_tpu.train.state import create_train_state
+
+    cfg = get_model_config("rn50_openclip_openai")
+    # tiny-fy: 1-block stages at 64px to keep the test fast
+    import dataclasses
+
+    from swat_tpu.models.configs import CLIPConfig, TextConfig
+    from swat_tpu.models.resnet import ResNetConfig
+
+    tiny = CLIPConfig(
+        name="rn-tiny",
+        vision=ResNetConfig(image_size=64, width=16, layers=(1, 1, 1, 1),
+                            embed_dim=32, heads=4),
+        text=TextConfig(context_length=12, vocab_size=64, width=32,
+                        layers=1, heads=4, embed_dim=32, quick_gelu=True),
+    )
+    model = CLIPModel(tiny, precision=FP32_PRECISION)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32),
+        jnp.zeros((1, 12), jnp.int32))["params"]
+    head = jnp.asarray(rng.normal(size=(3, 32)), jnp.float32)
+    state, tx = create_train_state(params, head, "finetune",
+                                   lr_classifier=1e-2, lr_backbone=1e-3,
+                                   total_iter=10)
+    step = S.make_ce_step(model, tx, image_size=64)
+
+    before = jax.tree_util.tree_map(np.asarray, state.model["visual"])
+    batch = {
+        "images": jnp.asarray(rng.normal(size=(8, 64, 64, 3)),
+                              jnp.float32),
+        "labels": jnp.asarray(rng.integers(0, 3, 8), jnp.int32),
+        "source": jnp.ones((8,), jnp.int32),
+    }
+    new_state, loss_val = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss_val))
+    after = new_state.model["visual"]
+
+    bn1_b, bn1_a = before["bn1"], after["bn1"]
+    # running stats moved by the momentum rule (not by AdamW)
+    assert not np.allclose(bn1_b["mean"], np.asarray(bn1_a["mean"]))
+    assert not np.allclose(bn1_b["var"], np.asarray(bn1_a["var"]))
+    # gamma/beta train
+    assert not np.allclose(bn1_b["scale"], np.asarray(bn1_a["scale"]))
+    # the momentum update: new = 0.9*old + 0.1*batch -> moves toward
+    # batch stats, bounded by the old value and the batch value
+    assert float(np.max(np.abs(np.asarray(bn1_a["mean"])
+                               - bn1_b["mean"]))) < 1.0
