@@ -199,6 +199,147 @@ def collect_stage_accs(output_root: str) -> List[Dict[str, object]]:
     return rows
 
 
+def plot_ablation_curve(xs: Sequence[float],
+                        series: Dict[str, Sequence[float]],
+                        vline: Optional[float] = None,
+                        vline_label: str = "",
+                        xlabel: str = "", ylabel: str = "Accuracy (%)",
+                        out_png: Optional[str] = None):
+    """Generic parameter-sweep curve: the data-driven form of the
+    reference's hardcoded fig_mixing_ratio/plot_mixing_ratio.py:8-35 and
+    fig_stage1_epochs/plot_stage1_epochs.py:8-31 (per-dataset accuracy
+    vs mixing ratio / stage-1 epochs with the chosen setting marked)."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(4, 2))
+    for name, ys in series.items():
+        ax.plot(xs, ys, label=name, marker="o", alpha=0.85)
+    if vline is not None:
+        ax.axvline(x=vline, color="red", linestyle="--")
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    labels = list(series) + ([vline_label] if vline is not None else [])
+    ax.legend(labels, loc="center right", fontsize="small")
+    fig.tight_layout()
+    if out_png:
+        fig.savefig(out_png)
+    plt.close(fig)
+    return xs, series
+
+
+def collect_sweep_accs(run_dirs: Dict[float, str],
+                       stage: int = 2) -> Tuple[list, list]:
+    """Accuracy-vs-parameter points for plot_ablation_curve from a sweep
+    of run output dirs ({parameter value: run_dir})."""
+    xs, ys = [], []
+    for x in sorted(run_dirs):
+        path = os.path.join(run_dirs[x], f"stage{stage}_test_scores.json")
+        with open(path) as f:
+            ys.append(json.load(f)["acc"] * 100)
+        xs.append(x)
+    return xs, ys
+
+
+def plot_sorted_retrieved_counts(
+        counts_by_dataset: Dict[str, Dict[str, int]],
+        out_png: Optional[str] = None):
+    """fig3_imbalanced_distribution/plot_imbalanced.py:40-92 — per
+    dataset, classes sorted by retrieved-image count, log-y curve showing
+    the natural imbalance of retrieval.  Input: the
+    ``{prefix}_num_imgs_sampled.json`` dicts the sampler writes."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(5, 3))
+    data = {}
+    for name, counts in counts_by_dataset.items():
+        ys = np.sort(np.asarray(list(counts.values())))[::-1]
+        xs = np.linspace(0, 100, len(ys))   # percentile of classes
+        ax.plot(xs, ys, label=name, linewidth=2)
+        data[name] = ys
+    ax.set_yscale("log")
+    ax.set_xlabel("Sorted class percentile (%)")
+    ax.set_ylabel("# retrieved images")
+    ax.legend(fontsize="small")
+    fig.tight_layout()
+    if out_png:
+        fig.savefig(out_png)
+    plt.close(fig)
+    return data
+
+
+def plot_retraining_curves(loss_csvs: Dict[str, Sequence[str]],
+                           column: str = "Test_acc",
+                           out_png: Optional[str] = None):
+    """fig4_no_overfit/plot_retraining_cls_acc_*.py — per-dataset
+    mean +/- std accuracy across retraining epochs, aggregated over the
+    seed runs' loss.csv files ({dataset: [loss.csv, ...]})."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(5, 3))
+    out = {}
+    for name, paths in loss_csvs.items():
+        runs = [read_loss_csv(p)[column] for p in paths]
+        n = min(len(r) for r in runs)
+        arr = np.stack([np.asarray(r[:n], np.float64) for r in runs])
+        mean, std = arr.mean(axis=0), arr.std(axis=0)
+        epochs = np.arange(1, n + 1)
+        ax.plot(epochs, mean, label=name, marker="o", markersize=3)
+        ax.fill_between(epochs, mean - std, mean + std, alpha=0.2)
+        out[name] = (mean, std)
+    ax.set_xlabel("Retraining epochs")
+    ax.set_ylabel(f"{column.replace('_', ' ')} (%)")
+    ax.legend(fontsize="small")
+    fig.tight_layout()
+    if out_png:
+        fig.savefig(out_png)
+    plt.close(fig)
+    return out
+
+
+def plot_domain_gap(measured: Dict[str, Dict[str, float]],
+                    out_png: Optional[str] = None):
+    """fig2_domain_gap/plot_domain_gap.py — grouped per-dataset bars of
+    method accuracies exposing the retrieval domain gap (zero-shot vs
+    finetune-on-retrieved vs SWAT ...).  Input
+    {method: {dataset: acc}}; the paper's own numbers are available from
+    analysis.results.PAPER_TABLES for overlay."""
+    plt = _plt()
+    methods = list(measured)
+    datasets = sorted({d for accs in measured.values() for d in accs})
+    width = 0.8 / max(len(methods), 1)
+    fig, ax = plt.subplots(figsize=(max(6, len(datasets)), 3))
+    xs = np.arange(len(datasets))
+    for i, m in enumerate(methods):
+        ys = [measured[m].get(d, np.nan) for d in datasets]
+        ax.bar(xs + i * width, ys, width, label=m)
+    ax.set_xticks(xs + 0.4 - width / 2)
+    ax.set_xticklabels(datasets, rotation=30, ha="right", fontsize=8)
+    ax.set_ylabel("Test accuracy (%)")
+    ax.legend(fontsize="small")
+    fig.tight_layout()
+    if out_png:
+        fig.savefig(out_png)
+    plt.close(fig)
+    return datasets
+
+
+def ablate_table(configs: Dict[str, str],
+                 acc_col: str = "Stage2LPAcc") -> List[dict]:
+    """table4_ablate_SWAT/get_dataset_accuracy.py:22-108 — one row per
+    ablation config ({config name: results csv path}), mean accuracy per
+    dataset across seeds plus the overall mean."""
+    from swat_tpu.analysis.results import aggregate, read_results_csv
+
+    rows = []
+    for name, csv_path in configs.items():
+        agg = aggregate(read_results_csv(csv_path), acc_col=acc_col)
+        row: Dict[str, object] = {"config": name}
+        means = []
+        for (dataset, shots), (mean, _std, _n) in sorted(agg.items()):
+            row[f"{dataset}@{shots}"] = round(mean, 1)
+            means.append(mean)
+        row["mean"] = round(float(np.mean(means)), 1) if means else None
+        rows.append(row)
+    return rows
+
+
 def main(argv=None):
     import argparse
 
@@ -222,12 +363,34 @@ def main(argv=None):
     tab = sub.add_parser("stage-table")
     tab.add_argument("--output_root", required=True)
 
+    im = sub.add_parser("imbalance")
+    im.add_argument("--counts", nargs="+", required=True,
+                    help="name=path pairs of *_num_imgs_sampled.json")
+    im.add_argument("--out", required=True)
+
+    at = sub.add_parser("ablate-table")
+    at.add_argument("--configs", nargs="+", required=True,
+                    help="name=results.csv pairs")
+    at.add_argument("--acc_col", default="Stage2LPAcc")
+
     args = p.parse_args(argv)
     if args.cmd == "head-tail":
         counts = class_counts_from_split(args.split)
         print(json.dumps(stagewise_head_tail_row(args.output_dir, counts)))
     elif args.cmd == "loss-curve":
         plot_loss_curves(args.loss_csv, args.out)
+    elif args.cmd == "imbalance":
+        counts = {}
+        for pair in args.counts:
+            name, path = pair.split("=", 1)
+            with open(path) as f:
+                counts[name] = json.load(f)
+        plot_sorted_retrieved_counts(counts, args.out)
+        print(f"Wrote {args.out}")
+    elif args.cmd == "ablate-table":
+        configs = dict(pair.split("=", 1) for pair in args.configs)
+        for row in ablate_table(configs, acc_col=args.acc_col):
+            print(json.dumps(row))
         print(f"Wrote {args.out}")
     elif args.cmd == "distribution":
         plot_retrieved_distribution(args.split, args.num_classes, args.out)

@@ -191,6 +191,10 @@ def parse_config(argv=None):
 
 
 def main(argv=None):
+    from swat_tpu.core.runtime import setup_jax
+
+    setup_jax()
+
     cfg = parse_config(argv)
     from swat_tpu.train.stages import SwatPipeline
 

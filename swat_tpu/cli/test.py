@@ -17,6 +17,10 @@ import json
 
 
 def main(argv=None):
+    from swat_tpu.core.runtime import setup_jax
+
+    setup_jax()
+
     p = argparse.ArgumentParser(description="swat-tpu standalone eval")
     p.add_argument("--dataset", required=True)
     p.add_argument("--dataset_path", default="data")

@@ -4,6 +4,8 @@ plots_tables scripts)."""
 import json
 import os
 
+import pytest
+
 import numpy as np
 
 from swat_tpu.analysis.figures import (
@@ -87,3 +89,79 @@ def test_loss_curves_and_norm_plot(tmp_path):
     out2 = str(tmp_path / "norms.png")
     plot_weight_norms(norms, norms, "test", out2)
     assert os.path.getsize(out2) > 0
+
+
+def test_ablation_curve_and_sweep(tmp_path):
+    from swat_tpu.analysis.figures import (
+        collect_sweep_accs,
+        plot_ablation_curve,
+    )
+
+    dirs = {}
+    for x, acc in [(10, 0.61), (50, 0.631), (90, 0.60)]:
+        d = tmp_path / f"sweep{x}"
+        d.mkdir()
+        (d / "stage2_test_scores.json").write_text(
+            json.dumps({"acc": acc}))
+        dirs[x] = str(d)
+    xs, ys = collect_sweep_accs(dirs, stage=2)
+    assert xs == [10, 50, 90]
+    assert ys == pytest.approx([61.0, 63.1, 60.0])
+    out = tmp_path / "curve.png"
+    plot_ablation_curve(xs, {"Aves": ys}, vline=50, vline_label="SWAT",
+                        xlabel="Stage 1 training epochs",
+                        out_png=str(out))
+    assert out.exists() and out.stat().st_size > 0
+
+
+def test_imbalance_and_retraining_and_domain_gap(tmp_path):
+    from swat_tpu.analysis.figures import (
+        plot_domain_gap,
+        plot_retraining_curves,
+        plot_sorted_retrieved_counts,
+    )
+
+    counts = {"Semi-Aves": {str(c): (c + 1) * 10 for c in range(20)},
+              "DTD": {str(c): 500 - c for c in range(47)}}
+    out = tmp_path / "imb.png"
+    data = plot_sorted_retrieved_counts(counts, str(out))
+    assert out.exists()
+    assert data["Semi-Aves"][0] == 200  # sorted descending
+
+    csvs = {}
+    for seed in (1, 2):
+        p = tmp_path / f"loss{seed}.csv"
+        rows = ["Epoch,Iter,Train_loss,Val_loss,Val_acc,Test_acc"] + [
+            f"{e},{e*10},{1.0/(e+1)},{1.0/(e+1)},{50+e},{49+e+seed}"
+            for e in range(5)]
+        p.write_text("\n".join(rows) + "\n")
+        csvs.setdefault("Aves", []).append(str(p))
+    out2 = tmp_path / "retrain.png"
+    curves = plot_retraining_curves(csvs, out_png=str(out2))
+    assert out2.exists()
+    mean, std = curves["Aves"]
+    assert mean.shape == (5,) and std[0] == pytest.approx(0.5)
+
+    out3 = tmp_path / "gap.png"
+    ds = plot_domain_gap({"zeroshot": {"semi-aves": 54.9},
+                          "SWAT": {"semi-aves": 63.1, "dtd": 68.0}},
+                         str(out3))
+    assert out3.exists() and ds == ["dtd", "semi-aves"]
+
+
+def test_ablate_table(tmp_path):
+    from swat_tpu.analysis.figures import ablate_table
+
+    p = tmp_path / "results.csv"
+    hdr = ("Dataset,Method,Model,Shots,Seed,Stage2LPAcc\n")
+    rows = [
+        "semi-aves,SWAT,vitb32,4,1,58.0",
+        "semi-aves,SWAT,vitb32,4,2,59.0",
+        "dtd,SWAT,vitb32,4,1,66.0",
+    ]
+    p.write_text(hdr + "\n".join(rows) + "\n")
+    tab = ablate_table({"T2T500": str(p)})
+    assert tab[0]["config"] == "T2T500"
+    assert tab[0]["semi-aves@4"] == 58.5
+    assert tab[0]["dtd@4"] == 66.0
+    assert tab[0]["mean"] == pytest.approx(62.2, abs=0.1)
