@@ -134,6 +134,39 @@ def bench_embed_and_topk():
         }))
 
 
+def bench_sample_stage(n: int = 500_000, classes: int = 200,
+                       d: int = 512):
+    """END-TO-END fused sample stage QPS: the exact production path
+    (sampler.sample_retrieved_fused — rowwise scores + masked matmul +
+    device top-k + host assembly), not just the ranking kernel."""
+    import numpy as np
+
+    from swat_tpu.retrieval.sampler import MinedPool, sample_retrieved_fused
+
+    rng = np.random.default_rng(0)
+    labels = rng.integers(0, classes, n).astype(np.int32)
+    img = rng.standard_normal((n, d)).astype(np.float32) * 0.02
+    cap = rng.standard_normal((n, d)).astype(np.float32) * 0.02
+    paths = [f"/pool/{i:07d}.jpg" for i in range(n)]
+    pool = MinedPool(paths, labels, img, cap)
+    prompts = {str(c): {"mean": rng.standard_normal(d).astype(np.float32)}
+               for c in range(classes)}
+
+    kw = dict(strategy="T2T-rank-T2I-tshd", num_samples=500,
+              t2i_threshold=-1.0)
+    _ = sample_retrieved_fused(pool, prompts, **kw)      # compile
+    t0 = time.perf_counter()
+    res = sample_retrieved_fused(pool, prompts, **kw)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "sample_stage_candidates_per_sec_fused",
+        "value": round(n / dt),
+        "unit": f"candidates/sec ({classes} classes x {n} pool, "
+                "T2T-rank-T2I-tshd top-500, end-to-end)",
+        "sampled": len(res["file_list"]),
+    }))
+
+
 def bench_index_scale(total: int = 10_000_000, shards: int = 8,
                       work_dir: str = "/tmp/swat_index_scale"):
     """Corpus-scale evidence for the 400M-caption story: build `total`
@@ -228,3 +261,4 @@ if __name__ == "__main__":
     else:
         bench_index()
         bench_embed_and_topk()
+        bench_sample_stage()

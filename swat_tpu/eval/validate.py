@@ -62,9 +62,13 @@ class Evaluator:
         pseudo-labeling (reference testing.py:466-480)."""
         cm = (np.zeros((self.num_classes, self.num_classes), np.int64)
               if return_confusion else None)
-        correct = 0
-        count = 0
-        batch_losses = []
+        # accumulate scalars ON DEVICE: a host float()/int() per batch is
+        # one tunnel round trip (~18 ms) x hundreds of batches on large
+        # splits; the plain acc/loss path now syncs once at the end
+        dev_correct = jnp.int32(0)
+        dev_loss = jnp.float32(0)
+        dev_count = jnp.int32(0)
+        batches = 0
         predicted: list = []
         logit_scale = jnp.asarray(logit_scale, jnp.float32)
         for batch in loader:
@@ -78,10 +82,11 @@ class Evaluator:
             preds, max_logits, c, loss_sum = self._eval_feats(
                 head, logit_scale, feats, jnp.asarray(batch["labels"]),
                 jnp.asarray(batch["source"]), mask)
-            n = int(np.asarray(mask).sum())
-            correct += int(c)
-            count += n
-            batch_losses.append(float(loss_sum) / max(n, 1))
+            nb = jnp.sum(mask)
+            dev_correct = dev_correct + c
+            dev_count = dev_count + nb
+            dev_loss = dev_loss + loss_sum / jnp.maximum(nb, 1)
+            batches += 1
             if cm is not None:
                 cm = confusion_matrix_update(
                     cm, np.asarray(preds), np.asarray(batch["labels"]),
@@ -94,8 +99,8 @@ class Evaluator:
             with open(predict_labels_path, "w") as f:
                 for pred, logit in predicted:
                     f.write(f"{pred} {logit}\n")
-        acc = correct / max(count, 1) * 100.0
-        return acc, float(np.mean(batch_losses)), cm
+        acc = int(dev_correct) / max(int(dev_count), 1) * 100.0
+        return acc, float(dev_loss) / max(batches, 1), cm
 
 
 def validate_multitask(evaluator: Evaluator, params, cls_head, dataset_head,

@@ -195,9 +195,10 @@ def _strategy_matrices(pool: MinedPool, prompt_tensors: Dict[str, dict],
     raise NotImplementedError(strategy)
 
 
-def _rowwise_scores(X: np.ndarray, W: np.ndarray, labels: np.ndarray,
-                    chunk: int = 1 << 18) -> np.ndarray:
-    """score[n] = X[n] . W[labels[n]] in O(1) chunked device dispatches."""
+def _rowwise_scores(X, W, labels, chunk: int = 1 << 18) -> np.ndarray:
+    """score[n] = X[n] . W[labels[n]] in O(1) chunked device dispatches.
+    ``X``/``labels`` may be device arrays (transferred once by the
+    caller) — host->device traffic dominates over a tunneled TPU."""
     import jax
     import jax.numpy as jnp
 
@@ -207,11 +208,11 @@ def _rowwise_scores(X: np.ndarray, W: np.ndarray, labels: np.ndarray,
                           preferred_element_type=jnp.float32)
 
     w = jnp.asarray(W, jnp.float32)
+    X = jnp.asarray(X, jnp.float32)
+    labels = jnp.asarray(labels)
     out = []
     for i in range(0, X.shape[0], chunk):
-        out.append(np.asarray(run(jnp.asarray(X[i:i + chunk], jnp.float32),
-                                  w,
-                                  jnp.asarray(labels[i:i + chunk]))))
+        out.append(np.asarray(run(X[i:i + chunk], w, labels[i:i + chunk])))
     return (np.concatenate(out) if out
             else np.empty(0, np.float32)).astype(np.float32)
 
@@ -248,11 +249,17 @@ def sample_retrieved_fused(
             t2i_threshold, fewshot_feats_by_class, remove_duplicates,
             zeroshot_filter_head, seed)
 
+    import jax.numpy as jnp
+
     labels = pool.labels
     n = labels.shape[0]
     W, X, C = _strategy_matrices(pool, prompt_tensors, strategy,
                                  fewshot_feats_by_class)
-    score = _rowwise_scores(X, W, labels)
+    # ONE host->device transfer per matrix, reused by the score pass and
+    # the ranking matmul (a tunneled TPU pays ~seconds/GB per upload)
+    X = jnp.asarray(X, jnp.float32)
+    dev_labels = jnp.asarray(labels)
+    score = _rowwise_scores(X, W, dev_labels)
 
     if strategy == "Random-I2I":
         # top-half by I2I per class, then uniform shuffle — host rng over
@@ -270,7 +277,9 @@ def sample_retrieved_fused(
         P = np.zeros((C, pool.image_feats.shape[1]), np.float32)
         for c in pool.classes():
             P[c] = np.asarray(prompt_tensors[str(c)]["mean"], np.float32)
-        t2i = _rowwise_scores(pool.image_feats, P, labels)
+        # T2T: X is the caption matrix; reuse it for t2i only when the
+        # strategy ranks images (it doesn't) — image feats upload once
+        t2i = _rowwise_scores(pool.image_feats, P, dev_labels)
 
     dropped = np.zeros(n, bool)
     if remove_duplicates:

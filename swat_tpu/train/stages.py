@@ -77,6 +77,11 @@ class SwatPipeline:
                                                  cfg.mesh_model))
             except ValueError:
                 self.mesh = None
+        # lets batch-sharded inference keep the fused pallas attention
+        # (kernel runs per-shard under shard_map)
+        from swat_tpu.models import functional as _F
+
+        _F.set_inference_mesh(self.mesh)
 
         self.model_cfg = get_model_config(cfg.model_cfg)
         precision = (FP32_PRECISION if cfg.compute_dtype == "float32"
