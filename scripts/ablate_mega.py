@@ -16,8 +16,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STEPS = 10
 PEAK = 197.0
-GF_FWD = 8.85      # 2*M*N*K convention, ViT-B/32 @ 224 (see bench.py)
-GF_TRAIN = 3 * GF_FWD
+GF_FWD_BY_MODEL = {  # 2*M*N*K convention (see bench.py)
+    "vitb32_openclip_laion400m": 8.85,
+    "vitb16_openclip_laion400m": 35.2,
+}
 
 
 def main():
@@ -36,11 +38,16 @@ def main():
 
     bsz = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     variants = ["xla", "mega"]
+    model_cfg = "vitb32_openclip_laion400m"
     for a in sys.argv[2:]:
         if a.startswith("--variants"):
             variants = a.split("=", 1)[1].split(",")
+        if a.startswith("--model"):
+            model_cfg = a.split("=", 1)[1]
 
-    cfg = get_model_config("vitb32_openclip_laion400m")
+    gf_fwd = GF_FWD_BY_MODEL.get(model_cfg, 8.85)
+    gf_train = 3 * gf_fwd
+    cfg = get_model_config(model_cfg)
     model = CLIPModel(cfg)
     params = model.init(
         jax.random.PRNGKey(0),
@@ -108,8 +115,8 @@ def main():
 
     for v in variants:
         mega = v == "mega"
-        run(f"{v}_fwd", mega, "fwd", GF_FWD)
-        run(f"{v}_full", mega, "full", GF_TRAIN)
+        run(f"{v}_fwd", mega, "fwd", gf_fwd)
+        run(f"{v}_full", mega, "full", gf_train)
     print(json.dumps(results))
 
 
