@@ -80,10 +80,23 @@ def _ln_bwd(dy32, xhat, rstd, scale):
     return dx, dy32 * xhat, dy32
 
 
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 rational erf (max abs err 1.5e-7):
+    Mosaic implements neither erf nor erfc, so the exact-gelu models
+    (non-quickgelu OpenCLIP configs) need an in-kernel formulation built
+    from exp only."""
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _act(m, quick_gelu):
     if quick_gelu:
         return m * jax.nn.sigmoid(1.702 * m)
-    return jax.nn.gelu(m, approximate=False)
+    return 0.5 * m * (1.0 + _erf(m * 0.7071067811865476))
 
 
 def _act_grad32(m32, quick_gelu):
@@ -94,7 +107,7 @@ def _act_grad32(m32, quick_gelu):
     # exact gelu: Phi(m) + m * phi(m)
     inv_sqrt2 = 0.7071067811865476
     phi = jnp.exp(-0.5 * m32 * m32) * 0.3989422804014327
-    cdf = 0.5 * (1.0 + jax.lax.erf(m32 * inv_sqrt2))
+    cdf = 0.5 * (1.0 + _erf(m32 * inv_sqrt2))
     return cdf + m32 * phi
 
 

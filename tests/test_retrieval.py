@@ -290,3 +290,24 @@ def test_fused_sampler_with_filters(pool, rng):
     assert got["file_list"] == ref["file_list"]
     assert got["label_list"] == ref["label_list"]
     assert got["filtered_info"] == ref["filtered_info"]
+
+
+def test_fused_sampler_gapped_class_ids(rng):
+    """Class-id gaps (absent classes) and under-filled classes must not
+    desync the fused selection from the oracle."""
+    from swat_tpu.retrieval.sampler import sample_retrieved_fused
+
+    labels = np.array([0] * 10 + [2] * 3, np.int32)
+    d = 16
+    img = rng.normal(size=(13, d)).astype(np.float32)
+    cap = rng.normal(size=(13, d)).astype(np.float32)
+    files = [f"/p/{i}.jpg" for i in range(13)]
+    pool = MinedPool(files, labels, img, cap)
+    prompts = {"0": {"mean": rng.normal(size=d).astype(np.float32)},
+               "2": {"mean": rng.normal(size=d).astype(np.float32)}}
+    for strat in ("T2T-rank", "I2T-rank"):
+        a = sample_retrieved(pool, prompts, strat, num_samples=5)
+        b = sample_retrieved_fused(pool, prompts, strat, num_samples=5)
+        assert a["file_list"] == b["file_list"]
+        assert a["num_sampled"] == b["num_sampled"]
+        assert 1 not in b["num_sampled"]
