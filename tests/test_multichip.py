@@ -158,3 +158,52 @@ def test_dp_sharded_scan_epoch_matches_single_device(rng):
     loss_8, head_8 = run(mesh)
     assert loss_1 == pytest.approx(loss_8, rel=1e-5)
     np.testing.assert_allclose(head_1, head_8, rtol=1e-5, atol=1e-7)
+
+
+def test_dp_sharded_twin_scan_epoch_matches_single_device(rng):
+    """The TWIN-loader scan family (cutmix-fs: concat fs batch then mix)
+    must also be dp-exact with both resident datasets sharded."""
+    from swat_tpu.core.mesh import resident_sharding
+    from swat_tpu.train.scan_loop import ResidentData, make_scan_epoch
+
+    model = CLIPModel(CFG, precision=FP32_PRECISION)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32),
+        jnp.zeros((1, CFG.text.context_length), jnp.int32))["params"]
+    head = init_head_random(jax.random.PRNGKey(1), 3, CFG.embed_dim)
+
+    n, nt = 32, 16
+    canv = rng.integers(0, 255, (n, 40, 40, 3)).astype(np.uint8)
+    tcanv = rng.integers(0, 255, (nt, 40, 40, 3)).astype(np.uint8)
+    labels = rng.integers(0, 3, n).astype(np.int32)
+    tlabels = rng.integers(0, 3, nt).astype(np.int32)
+    perm = rng.permutation(n)[:16].reshape(2, 8).astype(np.int32)
+    tperm = rng.integers(0, nt, (2, 8)).astype(np.int32)
+
+    def mk(mesh, c, l, m):
+        sh = resident_sharding(mesh, c.shape[0])
+        put = (lambda x: jax.device_put(x, sh)) if sh is not None \
+            else jnp.asarray
+        return ResidentData(put(c), put(np.full((c.shape[0], 2), 40,
+                                                np.int32)),
+                            put(l), put(m))
+
+    def run(mesh):
+        state, tx = create_train_state(
+            params, head, "cutmix", lr_classifier=1e-3,
+            lr_backbone=1e-4, total_iter=10)
+        data = mk(mesh, canv, labels, np.ones(n, np.int32))
+        twin = mk(mesh, tcanv, tlabels, np.ones(nt, np.int32))
+        if mesh is not None:
+            state = jax.device_put(state, NamedSharding(mesh, P()))
+        epoch = make_scan_epoch(model, tx, "cutmix-fs", image_size=32,
+                                mesh=mesh)
+        new_state, loss = epoch(state, data, perm, jax.random.PRNGKey(3),
+                                twin, tperm)
+        return float(loss), np.asarray(new_state.head)
+
+    loss_1, head_1 = run(None)
+    mesh = create_mesh(MeshSpec(data=8, model=1))
+    loss_8, head_8 = run(mesh)
+    assert loss_1 == pytest.approx(loss_8, rel=1e-5)
+    np.testing.assert_allclose(head_1, head_8, rtol=1e-5, atol=1e-7)
