@@ -214,23 +214,33 @@ class SwatPipeline:
                           num_workers=self.cfg.num_workers)
 
     def _cached_extract(self, cfg: RunConfig, params, split_tag: str,
-                        loader_fn):
+                        loader_fn, samples=None):
         """Persistent pre-extracted feature cache under
         ``<dataset_root>/pre_extracted/`` keyed by (dataset, model_cfg,
-        split, params digest); ``--recal_fea`` busts it (reference
-        pre_extract_feature, utils/dataloader.py:35-104, whose cache the
-        reference keys only by naming convention — the digest makes a
-        finetuned backbone's features never collide with zero-shot's)."""
+        split tag, split-content digest, params digest); ``--recal_fea``
+        busts it (reference pre_extract_feature,
+        utils/dataloader.py:35-104, whose cache the reference keys only
+        by naming convention — the digests make a finetuned backbone or
+        a changed split, e.g. --utrain pseudo-labels appended, never
+        collide with a stale cache)."""
+        import hashlib
+
         from swat_tpu.data.features import (
             extract_or_load,
             feature_cache_path,
             params_fingerprint,
         )
 
+        extra = params_fingerprint(params)
+        if samples is not None:
+            h = hashlib.sha1()
+            for smp in samples:
+                h.update(f"{smp.path}|{smp.label}|{smp.is_fewshot};"
+                         .encode())
+            extra = f"{extra}_{h.hexdigest()[:8]}"
         cache_dir = os.path.join(cfg.dataset_root, "pre_extracted")
         path = feature_cache_path(
-            cache_dir, cfg.dataset, cfg.model_cfg, split_tag,
-            extra=params_fingerprint(params))
+            cache_dir, cfg.dataset, cfg.model_cfg, split_tag, extra=extra)
         return extract_or_load(
             path, cfg.recal_fea,
             lambda: extract_image_features(self.model, params, loader_fn(),
@@ -316,10 +326,12 @@ class SwatPipeline:
             # pre-extract features with the (frozen) current params —
             # persisted across runs (reference pre_extract_feature,
             # utils/dataloader.py:35-104), busted by --recal_fea
+            _train_smp = self._train_samples(cfg)
             train_feats = self._cached_extract(
                 cfg, params, "train",
-                lambda: EvalLoader(self._train_samples(cfg), 256,
-                                   image_size, cfg.num_workers))
+                lambda: EvalLoader(_train_smp, 256,
+                                   image_size, cfg.num_workers),
+                samples=_train_smp)
             train_loader = FeatureBatches(
                 train_feats["image_features"], train_feats["labels"],
                 batch_size=cfg.bsz, shuffle=True, drop_last=True,
@@ -852,11 +864,13 @@ class SwatPipeline:
 
         # few-shot train features (reference extracts with the *train*
         # transform and uses the train loader as val, main.py:413-415)
+        _fs_smp = self._samples(cfg.fewshot_data)
         train_feats = self._cached_extract(
             cfg, params, "fsprobe",
-            lambda: EvalLoader(self._samples(cfg.fewshot_data), 128,
+            lambda: EvalLoader(_fs_smp, 128,
                                self.model_cfg.vision.image_size,
-                               cfg.num_workers))
+                               cfg.num_workers),
+            samples=_fs_smp)
         test_feats = self._cached_extract(
             cfg, params, "test",
             lambda: self._eval_loader(cfg.test_split, 256))
