@@ -40,6 +40,41 @@ def maybe_initialize_distributed(
         return jax.process_count() > 1
 
 
+def create_multislice_mesh(dcn_data: int, ici_data: int,
+                           ici_model: int = 1, devices=None):
+    """Mesh for multi-slice TPU: the slow DCN link carries ONLY the outer
+    data axis (gradient all-reduce once per step), while tensor-parallel
+    collectives stay on intra-slice ICI.  Axes are ('data', 'model') with
+    the data axis spanning dcn_data * ici_data — drop-in for
+    core.mesh.create_mesh, so every data_sharding/partition-spec helper
+    works unchanged (the scaling-book multi-slice recipe; the reference
+    has no distributed training at all, SURVEY.md §2.3).
+    """
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    devices = list(devices) if devices is not None else jax.devices()
+    need = dcn_data * ici_data * ici_model
+    if len(devices) != need:
+        raise ValueError(
+            f"multislice mesh {dcn_data}x{ici_data}x{ici_model} needs "
+            f"{need} devices, got {len(devices)}")
+    try:
+        from jax.experimental import mesh_utils
+
+        dev = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(ici_data, ici_model),
+            dcn_mesh_shape=(dcn_data, 1),
+            devices=devices)
+    except (ImportError, ValueError, AssertionError):
+        # virtual/CPU devices carry no slice topology — fall back to a
+        # row-major layout with the same logical shape
+        dev = np.asarray(devices).reshape(dcn_data * ici_data, ici_model)
+    dev = np.asarray(dev).reshape(dcn_data * ici_data, ici_model)
+    return Mesh(dev, ("data", "model"))
+
+
 def process_local_slice(n_items: int) -> slice:
     """This host's contiguous shard of a length-n dataset (per-host input
     pipelines feed only their shard; GSPMD assembles the global batch)."""

@@ -261,7 +261,8 @@ def make_flyp_step(model: CLIPModel, tx, loss: LossFn = cross_entropy,
     def step(state: TrainState, batch, key):
         def loss_fn(trainable):
             images = _get_images(batch, key, image_size)
-            img_f = _encode(model, trainable["model"], images)
+            img_f, bn_upd = _encode_train(model, trainable["model"],
+                                          images)
             from swat_tpu.models import functional as F
 
             txt_f = F.encode_text(model, trainable["model"],
@@ -274,11 +275,12 @@ def make_flyp_step(model: CLIPModel, tx, loss: LossFn = cross_entropy,
             logits_t = logits_i.T
             labels = jnp.arange(logits_i.shape[0])
             source = batch["source"]
-            return 0.5 * (loss(logits_i, labels, source)
-                          + loss(logits_t, labels, source))
+            return (0.5 * (loss(logits_i, labels, source)
+                           + loss(logits_t, labels, source)), bn_upd)
 
-        val, grads = jax.value_and_grad(loss_fn)(state.trainable)
-        return _apply_update(tx, state, grads), val
+        (val, bn_upd), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.trainable)
+        return _fold_bn(_apply_update(tx, state, grads), bn_upd), val
 
     return step
 
@@ -294,16 +296,18 @@ def make_multitask_step(model: CLIPModel, tx, loss: LossFn = cross_entropy,
     def step(state: TrainState, batch, key):
         def loss_fn(trainable):
             images = _get_images(batch, key, image_size)
-            feats = _encode(model, trainable["model"], images)
+            feats, bn_upd = _encode_train(model, trainable["model"],
+                                          images)
             scale = jnp.exp(trainable["logit_scale"])
             logits = head_logits(trainable["head"]["cls"], feats) * scale
             ds_logits = head_logits(trainable["head"]["dataset"], feats) * scale
             cls_loss = loss(logits, batch["labels"], batch["source"])
             ds_loss = cross_entropy(ds_logits, batch["source"], None)
-            return cls_loss + dataset_wd * ds_loss
+            return cls_loss + dataset_wd * ds_loss, bn_upd
 
-        val, grads = jax.value_and_grad(loss_fn)(state.trainable)
-        return _apply_update(tx, state, grads), val
+        (val, bn_upd), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.trainable)
+        return _fold_bn(_apply_update(tx, state, grads), bn_upd), val
 
     return step
 
@@ -318,13 +322,15 @@ def make_dataset_cls_step(model: CLIPModel, tx,
     def step(state: TrainState, batch, key):
         def loss_fn(trainable):
             images = _get_images(batch, key, image_size)
-            feats = _encode(model, trainable["model"], images)
+            feats, bn_upd = _encode_train(model, trainable["model"],
+                                          images)
             logits = _scaled_logits(trainable["head"],
                                     trainable["logit_scale"], feats)
-            return loss(logits, batch["source"], None)
+            return loss(logits, batch["source"], None), bn_upd
 
-        val, grads = jax.value_and_grad(loss_fn)(state.trainable)
-        return _apply_update(tx, state, grads), val
+        (val, bn_upd), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.trainable)
+        return _fold_bn(_apply_update(tx, state, grads), bn_upd), val
 
     return step
 
@@ -364,7 +370,8 @@ def make_fixmatch_step(model: CLIPModel, tx, *, threshold: float = 0.95,
             n_l = images_l.shape[0]
             all_images = jnp.concatenate(
                 [images_l, images_w, images_s], axis=0)
-            feats = _encode(model, trainable["model"], all_images)
+            feats, bn_upd = _encode_train(model, trainable["model"],
+                                          all_images)
             logits = head_logits(trainable["head"], feats)
             logits_l = logits[:n_l]
             logits_u_w, logits_u_s = jnp.split(logits[n_l:], 2, axis=0)
@@ -379,14 +386,16 @@ def make_fixmatch_step(model: CLIPModel, tx, *, threshold: float = 0.95,
             logp_s = jax.nn.log_softmax(logits_u_s.astype(jnp.float32), -1)
             per = -jnp.take_along_axis(logp_s, targets[:, None], 1)[:, 0]
             loss_u = (per * mask).mean()
-            return loss_l + lambda_u * loss_u, (mask.mean(), loss_u)
+            return (loss_l + lambda_u * loss_u,
+                    (mask.mean(), loss_u, bn_upd))
 
-        (val, extras), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.trainable)
+        (val, (mask_rate, loss_u, bn_upd)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.trainable)
+        new_state = _fold_bn(_apply_update(tx, state, grads), bn_upd)
         if aux:
             # (pseudo-label mask rate, consistency loss) for tests /
             # diagnostics (reference logs mask_w.mean(), training.py:908)
-            return _apply_update(tx, state, grads), (val, *extras)
-        return _apply_update(tx, state, grads), val
+            return new_state, (val, mask_rate, loss_u)
+        return new_state, val
 
     return step

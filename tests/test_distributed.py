@@ -62,3 +62,31 @@ def test_process_local_slice_partitions_evenly():
         assert s.stop - s.start == 25
         covered.extend(range(s.start, s.stop))
     assert covered == list(range(100))
+
+
+def test_multislice_mesh_shape_and_training_step():
+    """Hybrid DCN x ICI mesh: 2 'slices' x 4 chips -> ('data','model')
+    axes usable by the standard dp step (virtual CPU devices fall back to
+    row-major layout; on real multi-slice hardware
+    mesh_utils.create_hybrid_device_mesh keeps DCN on the outer axis)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from swat_tpu.core.distributed import create_multislice_mesh
+
+    mesh = create_multislice_mesh(dcn_data=2, ici_data=2, ici_model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+
+    # a sharded computation with a psum over the full data axis must see
+    # all 4 data shards (DCN+ICI combined)
+    x = jax.device_put(np.arange(8, dtype=np.float32),
+                       NamedSharding(mesh, P("data")))
+    s = jax.jit(lambda v: jnp.sum(v * 2.0))(x)
+    assert float(s) == float(np.arange(8).sum() * 2)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        create_multislice_mesh(dcn_data=3, ici_data=3, ici_model=1)
