@@ -379,6 +379,7 @@ def main(argv=None):
         print(json.dumps(stagewise_head_tail_row(args.output_dir, counts)))
     elif args.cmd == "loss-curve":
         plot_loss_curves(args.loss_csv, args.out)
+        print(f"Wrote {args.out}")
     elif args.cmd == "imbalance":
         counts = {}
         for pair in args.counts:
@@ -391,7 +392,6 @@ def main(argv=None):
         configs = dict(pair.split("=", 1) for pair in args.configs)
         for row in ablate_table(configs, acc_col=args.acc_col):
             print(json.dumps(row))
-        print(f"Wrote {args.out}")
     elif args.cmd == "distribution":
         plot_retrieved_distribution(args.split, args.num_classes, args.out)
         print(f"Wrote {args.out}")

@@ -60,17 +60,20 @@ def create_multislice_mesh(dcn_data: int, ici_data: int,
         raise ValueError(
             f"multislice mesh {dcn_data}x{ici_data}x{ici_model} needs "
             f"{need} devices, got {len(devices)}")
-    try:
+    virtual = getattr(devices[0], "platform", "") == "cpu"
+    if virtual:
+        # virtual/CPU devices carry no slice topology — row-major layout
+        # with the same logical shape (tests, dryruns)
+        dev = np.asarray(devices).reshape(dcn_data * ici_data, ici_model)
+    else:
+        # on real hardware a topology mismatch must FAIL, not silently
+        # degrade to TP-over-DCN
         from jax.experimental import mesh_utils
 
         dev = mesh_utils.create_hybrid_device_mesh(
             mesh_shape=(ici_data, ici_model),
             dcn_mesh_shape=(dcn_data, 1),
             devices=devices)
-    except (ImportError, ValueError, AssertionError):
-        # virtual/CPU devices carry no slice topology — fall back to a
-        # row-major layout with the same logical shape
-        dev = np.asarray(devices).reshape(dcn_data * ici_data, ici_model)
     dev = np.asarray(dev).reshape(dcn_data * ici_data, ici_model)
     return Mesh(dev, ("data", "model"))
 

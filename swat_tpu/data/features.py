@@ -106,16 +106,22 @@ def extract_or_load(path: str, recalc: bool, extract_fn, logger=None):
 
 
 def params_fingerprint(params) -> str:
-    """Cheap stable digest of a param tree — keys the persistent feature
-    cache so a finetuned backbone never reuses zero-shot features (the
-    reference distinguishes these only by directory convention)."""
+    """Stable digest of a param tree covering EVERY leaf — keys the
+    persistent feature cache so no two distinct checkpoints can reuse
+    each other's features (the reference distinguishes these only by
+    directory convention).  Per leaf: shape + a strided byte sample +
+    exact sums (full tobytes() of ~90M params costs ~seconds; a mid-tower
+    edit still flips the sums)."""
     import hashlib
 
     leaves = jax.tree_util.tree_leaves(params)
     h = hashlib.sha1()
     h.update(str(len(leaves)).encode())
-    for leaf in (leaves[0], leaves[len(leaves) // 2], leaves[-1]):
+    for leaf in leaves:
         a = np.asarray(leaf)
         h.update(str(a.shape).encode())
-        h.update(a.tobytes())
+        flat = a.reshape(-1)
+        stride = max(1, flat.size // 64)
+        h.update(np.ascontiguousarray(flat[::stride][:64]).tobytes())
+        h.update(np.float64(flat.astype(np.float64).sum()).tobytes())
     return h.hexdigest()[:10]

@@ -475,6 +475,8 @@ def fused_transformer(p, x, *, heads: int, layers: int, quick_gelu: bool,
     if sp != s:
         x = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
     bi = block_imgs or pick_block_imgs(b, sp)
+    if b % bi:
+        raise ValueError(f"block_imgs={bi} must divide batch {b}")
     head_dim = d // heads
     mlp_dim = p["blocks"]["mlp"]["fc"]["kernel"].shape[-1]
     fn = _make_block_fn(bi, sp, s, heads, head_dim, d, mlp_dim, causal,

@@ -81,6 +81,13 @@ def _block(p, x, heads: int, quick_gelu: bool, causal: bool,
     qkv = _dense(p["attn"]["qkv"], h, precision)
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
+    mesh = _INFERENCE_MESH[0]
+    multi = (mesh is not None
+             and np.prod(list(mesh.shape.values())) > 1)
+    if use_pallas and multi and b % mesh.shape["data"] != 0:
+        # shard_map needs the batch to divide the data axis; odd batches
+        # (e.g. prompt encoding of C*num_templates rows) fall back to XLA
+        use_pallas = False
     if use_pallas:
         # fused packed-head kernel: consumes the qkv slices as-is
         # ([B, S, H*D]), zero relayouts (kernels/flash_attention.mha_packed)
@@ -94,8 +101,7 @@ def _block(p, x, heads: int, quick_gelu: bool, causal: bool,
                               interpret=jax.default_backend() != "tpu",
                               bwd="pallas")
 
-        mesh = _INFERENCE_MESH[0]
-        if mesh is not None and np.prod(list(mesh.shape.values())) > 1:
+        if multi:
             # pallas_call does not partition under GSPMD; run the kernel
             # per-shard over the data axis so batch-sharded eval keeps
             # the fused forward (VERDICT r2 weak #6)

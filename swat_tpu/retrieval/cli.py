@@ -131,9 +131,14 @@ def cmd_mine_synonyms(args):
     if isinstance(class_names, dict):
         class_names = [class_names[k] for k in
                        sorted(class_names, key=int)]
+    definitions = None
+    if args.definitions:
+        with open(args.definitions) as f:
+            definitions = json.load(f)
     backend = (recorded_backend(args.recorded) if args.recorded
                else openai_backend(args.model))
-    out = mine_synonyms(args.dataset, class_names, backend, log=print)
+    out = mine_synonyms(args.dataset, class_names, backend,
+                        definitions=definitions, log=print)
     with open(args.output, "w") as f:
         json.dump(out, f, indent=4)
     print(f"Wrote {args.output} ({len(out)} classes)")
@@ -350,6 +355,9 @@ def main(argv=None):
                     help="fixture json {label: response} to replay "
                          "instead of calling an API")
     ms.add_argument("--model", default="gpt-3.5-turbo")
+    ms.add_argument("--definitions", default=None,
+                    help="json list of per-class definitions "
+                         "(required for caltech-101)")
 
     ck = sub.add_parser("check-metrics")
     ck.add_argument("--metrics", required=True)

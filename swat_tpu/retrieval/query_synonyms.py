@@ -141,6 +141,12 @@ def mine_synonyms(dataset: str, class_names: Sequence,
             sname, cname = None, None
             query_name = entry
         definition = definitions[idx] if definitions else None
+        if dataset == "caltech-101" and definition is None:
+            # the template interpolates the definition (reference :59-62);
+            # None would be formatted into the prompt verbatim
+            raise ValueError(
+                "caltech-101 mining requires per-class definitions "
+                "(reference GPT3_caltech-101.tsv)")
         response = backend(build_messages(dataset, query_name, definition))
         names = set(clean_text(n) for n in parse_numbered_list(response))
         # official names always included (format_synonyms.add_names)
@@ -169,9 +175,11 @@ def recorded_backend(fixture_path: str) -> Backend:
 
     def backend(messages: List[dict]) -> str:
         user = messages[-1]["content"]
-        for label, response in recorded.items():
+        # longest label first: '707-320' must not be served '707''s
+        # recorded response just because the shorter name is a substring
+        for label in sorted(recorded, key=len, reverse=True):
             if label in user:
-                return response
+                return recorded[label]
         raise KeyError(f"no recorded response matches prompt: {user!r}")
 
     return backend

@@ -115,6 +115,10 @@ def make_scan_epoch(model: CLIPModel, tx, method: str,
         def _dsh(ndim):
             return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
 
+    from swat_tpu.models import functional as F
+
+    is_vit = F._is_vit(model)
+
     def one_step(state: TrainState, batch, twin, key):
         k_aug, k_aug2, k_mix = jax.random.split(key, 3)
 
@@ -167,23 +171,36 @@ def make_scan_epoch(model: CLIPModel, tx, method: str,
                 lam = 1.0
             else:
                 raise NotImplementedError(method)
-            from swat_tpu.models import functional as F
-
-            feats = F.encode_image(model, trainable["model"], images,
-                                   normalize=True)
+            if is_vit:
+                feats = F.encode_image(model, trainable["model"], images,
+                                       normalize=True)
+                bn_upd = None
+            else:
+                # RN50: batch-stat BN + sown running-stat updates, same
+                # semantics as the streaming steps (steps._encode_train)
+                feats, bn_upd = F.encode_image_bn_train(
+                    model, trainable["model"], images)
             logits = head_logits(trainable["head"], feats) * jnp.exp(
                 trainable["logit_scale"])
             if lam_vec is not None:
                 from swat_tpu.train.losses import mixup_criterion_lam_vector
 
-                return mixup_criterion_lam_vector(logits, y_a, y_b, lam_vec)
-            return mixup_criterion(loss, logits, y_a, y_b, lam, source)
+                return (mixup_criterion_lam_vector(logits, y_a, y_b,
+                                                   lam_vec), bn_upd)
+            return (mixup_criterion(loss, logits, y_a, y_b, lam, source),
+                    bn_upd)
 
-        val, grads = jax.value_and_grad(loss_fn)(state.trainable)
+        (val, bn_upd), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.trainable)
         updates, new_opt = tx.update(grads, state.opt_state,
                                      state.trainable)
         new_tr = jax.tree_util.tree_map(lambda p, u: p + u,
                                         state.trainable, updates)
+        if bn_upd:
+            new_tr = {**new_tr, "model": {
+                **new_tr["model"],
+                "visual": F.apply_bn_updates(new_tr["model"]["visual"],
+                                             bn_upd)}}
         return state.replace_trainable(new_tr, opt_state=new_opt,
                                        step=state.step + 1), val
 

@@ -337,12 +337,18 @@ class SwatPipeline:
                 batch_size=cfg.bsz, shuffle=True, drop_last=True,
                 seed=cfg.training_seed,
                 source=train_feats.get("source"))
+            _val_smp = self._samples(cfg.val_split)
             val_feats = self._cached_extract(
                 cfg, params, "val",
-                lambda: self._eval_loader(cfg.val_split, 256))
+                lambda: EvalLoader(_val_smp, 256, image_size,
+                                   cfg.num_workers),
+                samples=_val_smp)
+            _test_smp = self._samples(cfg.test_split)
             test_feats = self._cached_extract(
                 cfg, params, "test",
-                lambda: self._eval_loader(cfg.test_split, 256))
+                lambda: EvalLoader(_test_smp, 256, image_size,
+                                   cfg.num_workers),
+                samples=_test_smp)
         else:
             train_loader = TrainLoader(
                 self._train_samples(cfg), batch_size=cfg.bsz,
@@ -871,9 +877,13 @@ class SwatPipeline:
                                self.model_cfg.vision.image_size,
                                cfg.num_workers),
             samples=_fs_smp)
+        _t_smp = self._samples(cfg.test_split)
         test_feats = self._cached_extract(
             cfg, params, "test",
-            lambda: self._eval_loader(cfg.test_split, 256))
+            lambda: EvalLoader(_t_smp, 256,
+                               self.model_cfg.vision.image_size,
+                               cfg.num_workers),
+            samples=_t_smp)
 
         loss = self._loss(stage2)
         train_loader = FeatureBatches(

@@ -183,3 +183,42 @@ def test_pallas_attention_under_mesh_shard_map():
                                    rtol=1e-4, atol=1e-5)
     finally:
         F.set_inference_mesh(None)
+
+
+def test_pallas_mesh_odd_batch_falls_back_to_xla():
+    """With an inference mesh set, batches that don't divide the data
+    axis (e.g. prompt encoding of C*templates rows) must silently use the
+    XLA path instead of crashing in shard_map (review fix)."""
+    import numpy as np
+
+    from swat_tpu.core.mesh import MeshSpec, create_mesh
+    from swat_tpu.core.precision import FP32_PRECISION
+    from swat_tpu.models import functional as F
+    from swat_tpu.models.clip import CLIPModel
+    from swat_tpu.models.configs import CLIPConfig, TextConfig, VisionConfig
+
+    cfg = CLIPConfig(
+        name="tiny-odd",
+        vision=VisionConfig(image_size=32, patch_size=16, width=64,
+                            layers=1, heads=4, embed_dim=48,
+                            quick_gelu=True),
+        text=TextConfig(context_length=12, vocab_size=100, width=64,
+                        layers=1, heads=4, embed_dim=48, quick_gelu=True),
+    )
+    model = CLIPModel(cfg, precision=FP32_PRECISION)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32),
+        jnp.zeros((1, 12), jnp.int32))["params"]
+    images = jax.random.normal(jax.random.PRNGKey(1), (15, 32, 32, 3))
+    ref = F.vit_encode_image(params["visual"], images, cfg.vision,
+                             FP32_PRECISION, normalize=True)
+    mesh = create_mesh(MeshSpec(data=8, model=1))
+    F.set_inference_mesh(mesh)
+    try:
+        got = F.vit_encode_image(params["visual"], images, cfg.vision,
+                                 FP32_PRECISION, normalize=True,
+                                 use_pallas=True)   # 15 % 8 != 0 -> XLA
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+    finally:
+        F.set_inference_mesh(None)

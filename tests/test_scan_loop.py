@@ -99,3 +99,35 @@ def test_resident_eval_matches_streaming(samples):
     assert acc_r == pytest.approx(acc_s, abs=1e-4)
     assert loss_r == pytest.approx(loss_s, rel=1e-4)
     np.testing.assert_array_equal(cm_r, cm_s)
+
+
+def test_scan_epoch_rn50_updates_bn_stats(samples):
+    """Resident scan mode must run RN50 batch-stat BN like the streaming
+    steps do (review fix): running statistics move after an epoch."""
+    from swat_tpu.models.configs import CLIPConfig, TextConfig
+    from swat_tpu.models.resnet import ResNetConfig
+
+    tiny = CLIPConfig(
+        name="rn-tiny-scan",
+        vision=ResNetConfig(image_size=32, width=16, layers=(1, 1, 1, 1),
+                            embed_dim=32, heads=4),
+        text=TextConfig(context_length=12, vocab_size=64, width=32,
+                        layers=1, heads=4, embed_dim=32, quick_gelu=True),
+    )
+    model = CLIPModel(tiny, precision=FP32_PRECISION)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32),
+        jnp.zeros((1, 12), jnp.int32))["params"]
+    head = init_head_random(jax.random.PRNGKey(1), 3, 32)
+    state, tx = create_train_state(params, head, "cutmix",
+                                   lr_classifier=1e-2, lr_backbone=1e-3,
+                                   total_iter=10)
+    run = make_scan_epoch(model, tx, "cutmix", image_size=32)
+    data = ResidentData.from_samples(samples, canvas=48, num_workers=4)
+    rng = np.random.default_rng(0)
+    perm = epoch_permutation(rng, data.n, 8)
+    before = np.asarray(state.model["visual"]["bn1"]["mean"])
+    state, loss = run(state, data, perm, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    after = np.asarray(state.model["visual"]["bn1"]["mean"])
+    assert not np.allclose(before, after)
