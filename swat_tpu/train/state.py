@@ -53,9 +53,16 @@ def init_logit_scale(method: str, temperature: float = 0.07) -> float:
 
 def make_labels(params, method: str, head=None, locked_text: bool = False):
     """Label tree matching the trainable structure. ``head`` may be an
-    array or a pytree of arrays (multitask uses {'cls','dataset'})."""
-    head_labels = ("head" if head is None else
-                   jax.tree_util.tree_map(lambda _: "head", head))
+    array or a pytree of arrays (multitask uses {'cls','dataset'}).
+
+    FLYP's head is NOT an optimizer param (reference utils/optimizers.py:
+    83-120 passes only model params + projectors + logit_scale; the head
+    is rebuilt from the text tower each eval, utils/training.py:489) —
+    labeling it 'head' would weight-decay it every step with zero grads
+    under AdamW, a drift the reference does not have."""
+    head_tag = "frozen" if method == "FLYP" else "head"
+    head_labels = (head_tag if head is None else
+                   jax.tree_util.tree_map(lambda _: head_tag, head))
     return {
         "model": label_params(params, method, locked_text),
         "head": head_labels,
@@ -72,14 +79,15 @@ def create_train_state(params, head, method: str, *,
                        lr_projector: Optional[float] = None,
                        temperature: float = 0.07,
                        logit_scale: Optional[float] = None,
-                       locked_text: bool = False):
+                       locked_text: bool = False,
+                       warmup_iter: int = 50):
     """Returns (state, tx). ``params``/``head`` may be host arrays; they are
     device_put once here (host trees re-upload per step otherwise)."""
     labels = make_labels(params, method, head, locked_text)
     tx = build_optimizer(labels, lr_classifier=lr_classifier,
                          lr_backbone=lr_backbone, total_iter=total_iter,
                          wd=wd, optim_type=optim_type,
-                         lr_projector=lr_projector)
+                         lr_projector=lr_projector, warmup_iter=warmup_iter)
     if logit_scale is None:
         logit_scale = init_logit_scale(method, temperature)
     # copy=True: the state owns its buffers — steps donate them, and

@@ -110,9 +110,8 @@ def oracle_encode_text(sd, tokens):
     return x / x.norm(dim=-1, keepdim=True)
 
 
-@pytest.fixture(scope="module")
-def oracle_sd():
-    g = torch.Generator().manual_seed(7)
+def make_oracle_sd(seed: int = 7):
+    g = torch.Generator().manual_seed(seed)
 
     def r(*shape, scale=0.05):
         return torch.randn(*shape, generator=g) * scale
@@ -147,6 +146,11 @@ def oracle_sd():
                 f"{p}.mlp.c_proj.bias": r(W),
             })
     return sd
+
+
+@pytest.fixture(scope="module")
+def oracle_sd():
+    return make_oracle_sd()
 
 
 @pytest.fixture(scope="module")
