@@ -291,6 +291,7 @@ def cmd_sample(args):
     from swat_tpu.retrieval.mined import load_mined_features
     from swat_tpu.retrieval.sampler import (
         MinedPool,
+        group_fewshot_features,
         sample_retrieved,
         sample_retrieved_fused,
         write_debug_lists,
@@ -300,8 +301,16 @@ def cmd_sample(args):
     feats = load_mined_features(args.features)
     pool = MinedPool(
         [str(p) for p in feats["file_paths"]], feats["labels"],
-        feats["image_features"], feats.get("caption_features"))
+        feats["image_features"], feats.get("caption_features"),
+        captions=([str(c) for c in feats["captions"]]
+                  if "captions" in feats else None))
     prompts = load_prompt_tensors(args.prompts)
+
+    fewshot_by_class = None
+    if args.fewshot_features:
+        fs = np.load(args.fewshot_features, allow_pickle=False)
+        fewshot_by_class = group_fewshot_features(
+            fs["image_features"], fs["labels"])
 
     zs_head = None
     if args.zeroshot_filter:
@@ -318,6 +327,7 @@ def cmd_sample(args):
         pool, prompts, strategy=args.strategy,
         num_samples=args.num_samples, threshold=args.threshold,
         t2i_threshold=args.t2i_threshold,
+        fewshot_feats_by_class=fewshot_by_class,
         remove_duplicates=args.remove_duplicates,
         zeroshot_filter_head=zs_head, seed=args.seed)
     total = len(res["file_list"])
@@ -339,6 +349,7 @@ def cmd_sample(args):
 
 def main(argv=None):
     from swat_tpu.core.runtime import setup_jax
+    from swat_tpu.retrieval.sampler import STRATEGIES
 
     setup_jax()
 
@@ -428,15 +439,19 @@ def main(argv=None):
     sp.add_argument("--dataset", default=None)
     sp.add_argument("--features", required=True)
     sp.add_argument("--prompts", required=True)
-    sp.add_argument("--strategy", default="T2T-rank",
-                    choices=["Random", "Random-I2I", "I2I-rank", "I2T-rank",
-                             "T2T-rank", "T2T-rank-T2I-tshd", "T2T+I2T",
-                             "T2T+I2I"])
+    sp.add_argument("--strategy", default="T2T-rank", choices=STRATEGIES)
     sp.add_argument("--num_samples", type=int, default=500)
     sp.add_argument("--engine", choices=("fused", "per-class"),
                     default="fused")
     sp.add_argument("--threshold", type=float, default=0.0)
-    sp.add_argument("--t2i_threshold", type=float, default=0.25)
+    sp.add_argument("--t2i_threshold", type=float, default=None,
+                    help="aux-gate threshold; default = the strategy's "
+                         "reference value (0.25, or 0.65 for I2I-tshd)")
+    sp.add_argument("--fewshot_features", default=None,
+                    help="pre-extracted few-shot feature .npz "
+                         "(image_features + labels) for the I2I/I2T "
+                         "strategies and gates (reference "
+                         "get_fewshot_features)")
     sp.add_argument("--remove_duplicates", action="store_true")
     sp.add_argument("--zeroshot_filter", action="store_true")
     sp.add_argument("--relative_to", default=None)

@@ -45,11 +45,85 @@ def i2i_similarity(fewshot_embeddings: np.ndarray,
     return np.asarray(sim.mean(axis=-1)).reshape(-1)
 
 
+def i2i_similarity_p2p(fewshot_embeddings: np.ndarray,
+                       embeddings: np.ndarray,
+                       mode: str = "mean") -> np.ndarray:
+    """Point-to-point exemplar similarity, reduced min/max/mean over the
+    few-shot set (reference i2i_similarity_p2p, sample_retrieval.py:
+    369-394).  ``embeddings`` may be image OR caption embeddings — the
+    reference reuses this kernel for its I2T-rank and the I2T/I2I
+    threshold gates (:1115, :868, :931)."""
+    sim = jnp.matmul(jnp.asarray(embeddings),
+                     jnp.asarray(fewshot_embeddings).T, precision="highest")
+    if mode == "min":
+        out = sim.min(axis=-1)
+    elif mode == "max":
+        out = sim.max(axis=-1)
+    elif mode == "mean":
+        out = sim.mean(axis=-1)
+    else:
+        raise ValueError(f"Invalid mode {mode!r}")
+    return np.asarray(out).reshape(-1)
+
+
 # ---------------------------------------------------------------------------
 # batched whole-dataset ranking
 
 
 import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _p2p_rowwise_fn(mode: str):
+    @jax.jit
+    def run(x, fs, counts, ls):
+        # x [n, D], fs [C, Kmax, D] (zero-padded), counts [C], ls [n]
+        sims = jnp.einsum("nd,nkd->nk", x, fs[ls], precision="highest",
+                          preferred_element_type=jnp.float32)
+        valid = jnp.arange(fs.shape[1])[None, :] < counts[ls][:, None]
+        if mode == "max":
+            return jnp.where(valid, sims, -jnp.inf).max(axis=-1)
+        if mode == "min":
+            return jnp.where(valid, sims, jnp.inf).min(axis=-1)
+        return (jnp.where(valid, sims, 0.0).sum(axis=-1)
+                / jnp.maximum(counts[ls], 1))
+
+    return run
+
+
+def rowwise_p2p_scores(embeddings: np.ndarray,
+                       fewshot_by_class: Dict[int, np.ndarray],
+                       labels: np.ndarray, num_classes: int,
+                       mode: str = "max",
+                       chunk: int = 1 << 17) -> np.ndarray:
+    """Fused form of per-class ``i2i_similarity_p2p``: score[n] =
+    reduce_mode(sim(embeddings[n], exemplar) for exemplars of class
+    labels[n]) in O(1) chunked device dispatches.  Variable exemplar
+    counts become fixed shapes via zero-padding + a count mask
+    (SURVEY.md §7 'Dynamic shapes')."""
+    if mode not in ("min", "max", "mean"):
+        raise ValueError(f"Invalid mode {mode!r}")
+    d = embeddings.shape[1]
+    kmax = max((np.asarray(v).shape[0] for v in fewshot_by_class.values()),
+               default=1)
+    fs = np.zeros((num_classes, kmax, d), np.float32)
+    counts = np.zeros(num_classes, np.int32)
+    for c, v in fewshot_by_class.items():
+        v = np.asarray(v, np.float32)
+        fs[c, : v.shape[0]] = v
+        counts[c] = v.shape[0]
+
+    run = _p2p_rowwise_fn(mode)
+    fs_d = jnp.asarray(fs)
+    counts_d = jnp.asarray(counts)
+    emb = jnp.asarray(embeddings, jnp.float32)
+    ls = jnp.asarray(labels, jnp.int32)
+    out = []
+    for i in range(0, emb.shape[0], chunk):
+        out.append(np.asarray(run(emb[i: i + chunk], fs_d, counts_d,
+                                  ls[i: i + chunk])))
+    return (np.concatenate(out) if out
+            else np.empty(0, np.float32)).astype(np.float32)
 
 
 @functools.lru_cache(maxsize=16)

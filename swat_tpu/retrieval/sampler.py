@@ -1,17 +1,26 @@
 """Retrieval samplers: rank the mined pool per class, apply thresholds /
 dedup / zero-shot filters, write the split file training consumes.
 
-Mirrors the 8 strategies of the reference ``sampling()`` dispatch
-(reference retrieval/sample_retrieval.py:1471-1670):
+Mirrors the 9 live strategies of the reference ``sampling()`` dispatch
+(reference retrieval/sample_retrieval.py:1471-1670).  Each strategy is a
+(rank score, threshold gate, optional aux gate) triple:
 
-  Random            uniform per class
-  Random-I2I        random among top-half I2I
-  I2I-rank          by mean similarity to few-shot image embeddings
-  I2T-rank          image-embedding vs class prompt
-  T2T-rank          caption-embedding vs class prompt  (SWAT default, :724)
-  T2T-rank-T2I-tshd T2T rank + T2I >= 0.25 filter       (:774-825)
-  T2T+I2T           mean of T2T and I2T scores
-  T2T+I2I           mean of T2T and I2I scores
+  Random            random order; gate prompt.img >= threshold when
+                    threshold != 0 (random_sampler, :592-663)
+  Random-I2I        random order; gate fewshot-MEAN.img >= threshold when
+                    threshold != 0 (random_sampler_i2i, :664-722)
+  I2I-rank          rank by mean p2p sim(few-shot imgs, img)
+                    (i2i_ranked_sampler_p2p, :1016-1077)
+  I2T-rank          rank by mean p2p sim(few-shot imgs, CAPTION)
+                    (i2t_rank_sampler, :1079-1137)
+  T2T-rank          rank by prompt.caption  (SWAT default, :724-771)
+  T2T-rank-T2I-tshd T2T rank + prompt.img >= 0.25
+                    (t2t_ranked_t2i_tshd_sampler, :774-829)
+  T2T-rank-I2T-tshd T2T rank + max p2p sim(few-shot imgs, caption) >= 0.25
+                    (t2t_rank_i2t_tshd_sampler, :831-891)
+  T2T-rank-I2I-tshd T2T rank + max p2p sim(few-shot imgs, img) >= 0.65
+                    (t2t_rank_i2i_tshd_sampler, :893-956)
+  T2I-rank          rank by prompt.img  (t2i_ranked_sampler, :1195-1244)
 
 Output: ``{prefix}.txt`` with ``path label 0`` lines
 (save_sample_file_list, :1457-1469) + sampled/filtered debug lists.
@@ -28,7 +37,16 @@ import numpy as np
 from swat_tpu.retrieval import rank as R
 
 STRATEGIES = ("Random", "Random-I2I", "I2I-rank", "I2T-rank", "T2T-rank",
-              "T2T-rank-T2I-tshd", "T2T+I2T", "T2T+I2I")
+              "T2T-rank-T2I-tshd", "T2T-rank-I2T-tshd",
+              "T2T-rank-I2I-tshd", "T2I-rank")
+
+# reference aux-gate defaults: add_t2t_ranked_t2i_tshd_to_split's
+# t2i_threshold=0.25 (:540) and the I2I variant's explicit 0.65 (:943)
+AUX_THRESHOLD_DEFAULTS = {
+    "T2T-rank-T2I-tshd": 0.25,
+    "T2T-rank-I2T-tshd": 0.25,
+    "T2T-rank-I2I-tshd": 0.65,
+}
 
 
 class MinedPool:
@@ -62,7 +80,7 @@ def sample_retrieved(
     strategy: str = "T2T-rank",
     num_samples: int = 500,
     threshold: float = 0.0,
-    t2i_threshold: float = 0.25,
+    t2i_threshold: Optional[float] = None,
     fewshot_feats_by_class: Optional[Dict[int, np.ndarray]] = None,
     remove_duplicates: bool = False,
     zeroshot_filter_head: Optional[np.ndarray] = None,
@@ -70,9 +88,12 @@ def sample_retrieved(
 ) -> Dict[str, list]:
     """Returns {'file_list', 'label_list', 'score_list', 'sampled_info',
     'filtered_info', 'num_sampled'}; feed 'file_list'/'label_list' to
-    `write_split_file`."""
+    `write_split_file`.  ``t2i_threshold=None`` uses the strategy's
+    reference default (AUX_THRESHOLD_DEFAULTS)."""
     if strategy not in STRATEGIES:
         raise NotImplementedError(f"strategy {strategy}")
+    if t2i_threshold is None:
+        t2i_threshold = AUX_THRESHOLD_DEFAULTS.get(strategy, 0.25)
     rng = np.random.default_rng(seed)
 
     drop: Dict[int, set] = defaultdict(set)
@@ -100,32 +121,43 @@ def sample_retrieved(
         prompt = np.asarray(prompt_tensors[str(cls)]["mean"],
                             np.float32)[None, :]
 
+        # (score, order) + optional aux gate per reference strategy table
+        # (module docstring).  ``score`` is always the value compared to
+        # ``threshold``; the Random strategies ORDER randomly but GATE on
+        # a similarity (sim literally 1.0 when threshold==0, reference
+        # random_sampler :621-628).
         t2i = None
-        if strategy == "Random":
-            score = rng.uniform(size=idx.size)
-        elif strategy in ("I2I-rank", "Random-I2I"):
-            fs = fewshot_feats_by_class[cls]
-            score = R.i2i_similarity(fs, img)
-            if strategy == "Random-I2I":
-                top_half = np.argsort(-score)[: max(1, idx.size // 2)]
-                mask = np.full(idx.size, -np.inf)
-                mask[top_half] = rng.uniform(size=top_half.size)
-                score = mask
-        elif strategy == "I2T-rank":
-            score = R.t2i_similarity(prompt, img)
-        elif strategy in ("T2T-rank", "T2T-rank-T2I-tshd"):
-            score = R.t2t_similarity(prompt, cap)
-            if strategy == "T2T-rank-T2I-tshd":
-                t2i = R.t2i_similarity(prompt, img)
-        elif strategy == "T2T+I2T":
-            score = 0.5 * (R.t2t_similarity(prompt, cap)
-                           + R.t2i_similarity(prompt, img))
-        elif strategy == "T2T+I2I":
-            fs = fewshot_feats_by_class[cls]
-            score = 0.5 * (R.t2t_similarity(prompt, cap)
-                           + R.i2i_similarity(fs, img))
+        if strategy in ("Random", "Random-I2I"):
+            if threshold == 0:
+                score = np.ones(idx.size, np.float32)
+            elif strategy == "Random":
+                score = R.t2i_similarity(prompt, img)
+            else:
+                fs_mean = np.asarray(fewshot_feats_by_class[cls],
+                                     np.float32).mean(axis=0)
+                score = R.i2i_similarity(fs_mean[None, :], img)
+            order = rng.permutation(idx.size)
+        else:
+            if strategy == "I2I-rank":
+                fs = fewshot_feats_by_class[cls]
+                score = R.i2i_similarity_p2p(fs, img, "mean")
+            elif strategy == "I2T-rank":
+                fs = fewshot_feats_by_class[cls]
+                score = R.i2i_similarity_p2p(fs, cap, "mean")
+            elif strategy == "T2I-rank":
+                score = R.t2i_similarity(prompt, img)
+            else:   # the T2T-rank family
+                score = R.t2t_similarity(prompt, cap)
+                if strategy == "T2T-rank-T2I-tshd":
+                    t2i = R.t2i_similarity(prompt, img)
+                elif strategy == "T2T-rank-I2T-tshd":
+                    fs = fewshot_feats_by_class[cls]
+                    t2i = R.i2i_similarity_p2p(fs, cap, "max")
+                elif strategy == "T2T-rank-I2I-tshd":
+                    fs = fewshot_feats_by_class[cls]
+                    t2i = R.i2i_similarity_p2p(fs, img, "max")
+            order = np.argsort(-score, kind="stable")
 
-        order = np.argsort(-score, kind="stable")
         ct = 0
         for local_i in order:
             if ct == num_samples:
@@ -139,7 +171,8 @@ def sample_retrieved(
             info = (f"{round(s, 4)}/{threshold}"
                     + (f", {round(float(t2i[local_i]), 4)}/{t2i_threshold}"
                        if t2i is not None else "")
-                    + f", {path}")
+                    + f", {path}"
+                    + (f", {pool.captions[gi]}" if pool.captions else ""))
             if keep:
                 out["file_list"].append(path)
                 out["label_list"].append(cls)
@@ -155,15 +188,14 @@ def sample_retrieved(
 def _strategy_matrices(pool: MinedPool, prompt_tensors: Dict[str, dict],
                        strategy: str,
                        fewshot_feats_by_class) -> tuple:
-    """Express a strategy's score as ``score[n] = X[n] . W[label[n]]``.
+    """Express a strategy's rank score as ``score[n] = X[n] . W[label[n]]``.
 
-    Every non-random strategy reduces to a per-class vector:
-      * T2T / I2T: the class prompt mean
-      * I2I: mean similarity over few-shot exemplars == dot with the
-        exemplars' MEAN embedding (linearity of the dot product)
-      * T2T+I2T: prompt . (0.5*(cap+img))
-      * T2T+I2I: concat([0.5*prompt, 0.5*fs_mean]) . concat([cap, img])
-    Returns (W [C, D'], X [N, D'], C) with C = max label + 1.
+    Every ranked strategy reduces to a per-class vector:
+      * T2T family / T2I: the class prompt mean (vs caption / image)
+      * I2I / I2T: mean p2p similarity over few-shot exemplars == dot
+        with the exemplars' MEAN embedding (linearity of the dot
+        product), vs image / caption embeddings respectively
+    Returns (W [C, D], X [N, D], C) with C = max label + 1.
     """
     d = pool.image_feats.shape[1]
     classes = pool.classes()
@@ -173,25 +205,26 @@ def _strategy_matrices(pool: MinedPool, prompt_tensors: Dict[str, dict],
     for c in classes:
         P[c] = np.asarray(prompt_tensors[str(c)]["mean"], np.float32)
     M = None
-    if strategy in ("I2I-rank", "Random-I2I", "T2T+I2I"):
+    if strategy in ("I2I-rank", "I2T-rank", "Random-I2I"):
         M = np.zeros((C, d), np.float32)
         for c in classes:
             M[c] = np.asarray(fewshot_feats_by_class[c],
                               np.float32).mean(axis=0)
 
     cap, img = pool.caption_feats, pool.image_feats
-    if strategy in ("T2T-rank", "T2T-rank-T2I-tshd"):
+    if strategy in ("T2T-rank", "T2T-rank-T2I-tshd", "T2T-rank-I2T-tshd",
+                    "T2T-rank-I2I-tshd"):
         return P, cap, C
-    if strategy == "I2T-rank":
+    if strategy == "T2I-rank":
         return P, img, C
-    if strategy in ("I2I-rank", "Random-I2I"):
+    if strategy == "I2I-rank":
         return M, img, C
-    if strategy == "T2T+I2T":
-        return P, 0.5 * (cap + img), C
-    if strategy == "T2T+I2I":
-        W = np.concatenate([0.5 * P, 0.5 * M], axis=1)
-        X = np.concatenate([cap, img], axis=1)
-        return W, X, C
+    if strategy == "I2T-rank":
+        return M, cap, C
+    if strategy == "Random-I2I":
+        return M, img, C   # the threshold gate's score; order is host rng
+    if strategy == "Random":
+        return P, img, C   # ditto (prompt.img gate when threshold != 0)
     raise NotImplementedError(strategy)
 
 
@@ -223,7 +256,7 @@ def sample_retrieved_fused(
     strategy: str = "T2T-rank",
     num_samples: int = 500,
     threshold: float = 0.0,
-    t2i_threshold: float = 0.25,
+    t2i_threshold: Optional[float] = None,
     fewshot_feats_by_class: Optional[Dict[int, np.ndarray]] = None,
     remove_duplicates: bool = False,
     zeroshot_filter_head: Optional[np.ndarray] = None,
@@ -236,50 +269,48 @@ def sample_retrieved_fused(
     (rank.rank_candidates), with thresholds / dedup / zero-shot filters
     applied as batched masks BEFORE the top-k.  ``sample_retrieved`` above
     is the per-class test oracle (tests/test_retrieval.py asserts
-    equality).  Matches reference t2t_ranked_sampler + the per-strategy
-    dispatch (sample_retrieval.py:724-771, 1471-1670).
+    equality).  Matches the reference per-strategy dispatch
+    (sample_retrieval.py:1471-1670; see module docstring table).
 
-    Random strategies keep their host-rng semantics (Random does no device
-    work at all; Random-I2I uses one fused I2I scoring pass)."""
+    Random strategies keep host-rng ordering (identical draws to the
+    oracle) over one fused threshold-gate pass."""
     if strategy not in STRATEGIES:
         raise NotImplementedError(f"strategy {strategy}")
-    if strategy == "Random":
-        return sample_retrieved(
-            pool, prompt_tensors, strategy, num_samples, threshold,
-            t2i_threshold, fewshot_feats_by_class, remove_duplicates,
-            zeroshot_filter_head, seed)
+    if t2i_threshold is None:
+        t2i_threshold = AUX_THRESHOLD_DEFAULTS.get(strategy, 0.25)
 
     import jax.numpy as jnp
 
     labels = pool.labels
     n = labels.shape[0]
-    W, X, C = _strategy_matrices(pool, prompt_tensors, strategy,
-                                 fewshot_feats_by_class)
-    # ONE host->device transfer per matrix, reused by the score pass and
-    # the ranking matmul (a tunneled TPU pays ~seconds/GB per upload)
-    X = jnp.asarray(X, jnp.float32)
     dev_labels = jnp.asarray(labels)
-    score = _rowwise_scores(X, W, dev_labels)
-
-    if strategy == "Random-I2I":
-        # top-half by I2I per class, then uniform shuffle — host rng over
-        # the single fused score pass (oracle: per-class I2I dispatches)
-        rng = np.random.default_rng(seed)
-        new_score = np.full(n, -np.inf, np.float32)
-        for cls in pool.classes():
-            idx = pool.class_indices(cls)
-            order = np.argsort(-score[idx])[: max(1, idx.size // 2)]
-            new_score[idx[order]] = rng.uniform(size=order.size)
-        score = new_score
+    random_strategy = strategy in ("Random", "Random-I2I")
+    if random_strategy and threshold == 0:
+        # reference random_sampler :621-628: gate sim is literally 1.0
+        # (and the few-shot features are never touched)
+        W = X = C = None
+        score = np.ones(n, np.float32)
+    else:
+        W, X, C = _strategy_matrices(pool, prompt_tensors, strategy,
+                                     fewshot_feats_by_class)
+        # ONE host->device transfer per matrix, reused by the score pass
+        # and the ranking matmul (a tunneled TPU pays ~seconds/GB per
+        # upload)
+        X = jnp.asarray(X, jnp.float32)
+        score = _rowwise_scores(X, W, dev_labels)
 
     t2i = None
     if strategy == "T2T-rank-T2I-tshd":
         P = np.zeros((C, pool.image_feats.shape[1]), np.float32)
         for c in pool.classes():
             P[c] = np.asarray(prompt_tensors[str(c)]["mean"], np.float32)
-        # T2T: X is the caption matrix; reuse it for t2i only when the
-        # strategy ranks images (it doesn't) — image feats upload once
         t2i = _rowwise_scores(pool.image_feats, P, dev_labels)
+    elif strategy == "T2T-rank-I2T-tshd":
+        t2i = R.rowwise_p2p_scores(pool.caption_feats,
+                                   fewshot_feats_by_class, labels, C, "max")
+    elif strategy == "T2T-rank-I2I-tshd":
+        t2i = R.rowwise_p2p_scores(pool.image_feats,
+                                   fewshot_feats_by_class, labels, C, "max")
 
     dropped = np.zeros(n, bool)
     if remove_duplicates:
@@ -296,35 +327,51 @@ def sample_retrieved_fused(
     if t2i is not None:
         keep &= t2i >= t2i_threshold
 
-    # the fused selection: class-masked matmul + top-k on device.
-    # Random-I2I's scores are host rng values, not X.W — select on host.
-    if strategy == "Random-I2I":
-        top_by_class = None
-    else:
-        cls_for_rank = np.where(keep, labels, -1).astype(np.int32)
-        top_idx, _ = R.rank_candidates(W, X, cls_for_rank, num_samples,
-                                       mesh=mesh, approx=approx)
-        top_by_class = top_idx
-
-    out = {"file_list": [], "label_list": [], "score_list": [],
-           "sampled_info": [], "filtered_info": [], "num_sampled": {}}
-    cutoff = np.full(C, -np.inf, np.float32)
-
     def info_line(gi):
         s = float(score[gi])
         return (f"{round(s, 4)}/{threshold}"
                 + (f", {round(float(t2i[gi]), 4)}/{t2i_threshold}"
                    if t2i is not None else "")
-                + f", {pool.file_paths[gi]}")
+                + f", {pool.file_paths[gi]}"
+                + (f", {pool.captions[gi]}" if pool.captions else ""))
+
+    out = {"file_list": [], "label_list": [], "score_list": [],
+           "sampled_info": [], "filtered_info": [], "num_sampled": {}}
+
+    if random_strategy:
+        # host walk in random order over the fused gate scores —
+        # consumes rng identically to the oracle (one permutation per
+        # class, class-sorted), so the outputs match exactly
+        rng = np.random.default_rng(seed)
+        for cls in pool.classes():
+            idx = pool.class_indices(cls)
+            if idx.size == 0:
+                continue
+            order = rng.permutation(idx.size)
+            ct = 0
+            for local_i in order:
+                if ct == num_samples:
+                    break
+                gi = int(idx[local_i])
+                if keep[gi]:
+                    out["file_list"].append(pool.file_paths[gi])
+                    out["label_list"].append(cls)
+                    out["score_list"].append(float(score[gi]))
+                    out["sampled_info"].append(info_line(gi))
+                    ct += 1
+                else:
+                    out["filtered_info"].append(info_line(gi))
+            out["num_sampled"][cls] = ct
+        return out
+
+    # the fused selection: class-masked matmul + top-k on device
+    cls_for_rank = np.where(keep, labels, -1).astype(np.int32)
+    top_by_class, _ = R.rank_candidates(W, X, cls_for_rank, num_samples,
+                                        mesh=mesh, approx=approx)
+    cutoff = np.full(C, -np.inf, np.float32)
 
     for cls in pool.classes():
-        if top_by_class is not None:
-            kept = [int(g) for g in top_by_class[cls] if g >= 0]
-        else:
-            idx = pool.class_indices(cls)
-            idx = idx[keep[idx]]
-            order = np.argsort(-score[idx], kind="stable")
-            kept = [int(g) for g in idx[order][:num_samples]]
+        kept = [int(g) for g in top_by_class[cls] if g >= 0]
         for gi in kept:
             out["file_list"].append(pool.file_paths[gi])
             out["label_list"].append(cls)
@@ -341,6 +388,16 @@ def sample_retrieved_fused(
     fi = fi[np.lexsort((-score[fi], labels[fi]))]
     out["filtered_info"] = [info_line(int(g)) for g in fi]
     return out
+
+
+def group_fewshot_features(image_features: np.ndarray,
+                           labels: np.ndarray) -> Dict[int, np.ndarray]:
+    """Group a pre-extracted few-shot feature bundle by class (reference
+    get_fewshot_features, sample_retrieval.py:997-1014, which loads the
+    probing run's ``{ds}_..._train_features.pth``)."""
+    labels = np.asarray(labels).reshape(-1)
+    feats = np.asarray(image_features, np.float32)
+    return {int(c): feats[labels == c] for c in np.unique(labels)}
 
 
 def write_split_file(path: str, file_list: Sequence[str],

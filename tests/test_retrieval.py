@@ -209,6 +209,78 @@ def test_i2i_sampler(pool, rng):
     assert res["file_list"][0].endswith("00019.jpg")
 
 
+def test_strategy_reference_semantics():
+    """Hand-computed check of each strategy's (rank, gate) pair against
+    the reference table (sample_retrieval.py:1471-1670): I2T-rank ranks
+    by mean p2p sim(few-shot, CAPTION) (:1115), the -I2T-/-I2I-tshd
+    variants gate on the exemplar MAX (:868,:931 — 0.65 default for
+    I2I), T2I-rank ranks prompt.image (:1216), and the Random gates use
+    prompt.image / fewshot-MEAN.image when threshold != 0 (:621-628,
+    :764-771)."""
+    e = np.eye(4, dtype=np.float32)
+    caps = np.stack([.9 * e[0], .8 * e[0], .7 * e[0],
+                     .6 * e[0] + .3 * e[1]])
+    imgs = np.stack([e[1], .5 * e[0], .9 * e[0], e[2]])
+    files = [f"/{i}.jpg" for i in range(4)]
+    mined = MinedPool(files, np.zeros(4, np.int32), imgs, caps)
+    prompts = {"0": {"mean": e[0]}}
+    fs = {0: np.stack([e[1], e[2]])}
+
+    def run(strategy, **kw):
+        res = sample_retrieved(mined, prompts, strategy, num_samples=4,
+                               fewshot_feats_by_class=fs, **kw)
+        return [int(p[1]) for p in res["file_list"]]
+
+    assert run("T2T-rank") == [0, 1, 2, 3]
+    assert run("T2I-rank") == [2, 1, 0, 3]            # prompt.img desc
+    assert run("I2T-rank") == [3, 0, 1, 2]   # mean fs.cap, stable ties
+    # T2T order with per-variant gates:
+    assert run("T2T-rank-T2I-tshd") == [1, 2]         # prompt.img >= .25
+    assert run("T2T-rank-I2T-tshd") == [3]            # max fs.cap >= .25
+    assert run("T2T-rank-I2I-tshd") == [0, 3]         # max fs.img >= .65
+    # Random gates (order random, membership deterministic)
+    assert sorted(run("Random", threshold=0.3)) == [1, 2]
+    assert sorted(run("Random-I2I", threshold=0.4)) == [0, 3]
+
+
+def test_sample_cli_fewshot_strategy(tmp_path, pool, rng, capsys):
+    """retrieval CLI `sample` end-to-end with a few-shot-dependent
+    strategy: --fewshot_features feeds the I2I exemplar gate (reference
+    get_fewshot_features consuming the probing feature dump)."""
+    from swat_tpu.data.prompts import save_prompt_tensors
+    from swat_tpu.retrieval.cli import main as cli_main
+
+    mined, prompts = pool
+    np.savez(tmp_path / "mined.npz",
+             file_paths=np.array(mined.file_paths),
+             labels=mined.labels,
+             image_features=mined.image_feats,
+             caption_features=mined.caption_feats)
+    save_prompt_tensors(str(tmp_path / "prompts.npz"),
+                        {c: {"all": p["mean"][None], "mean": p["mean"]}
+                         for c, p in prompts.items()})
+    fs_feats = np.concatenate(
+        [np.eye(3, 16, dtype=np.float32)[c][None].repeat(2, 0) * 0.9
+         for c in range(3)])
+    np.savez(tmp_path / "fs.npz", image_features=fs_feats,
+             labels=np.repeat(np.arange(3), 2))
+
+    out = tmp_path / "T2T500.txt"
+    cli_main(["sample", "--features", str(tmp_path / "mined.npz"),
+              "--prompts", str(tmp_path / "prompts.npz"),
+              "--fewshot_features", str(tmp_path / "fs.npz"),
+              "--strategy", "T2T-rank-I2I-tshd", "--t2i_threshold", "0.3",
+              "--num_samples", "5", "--output", str(out)])
+    lines = out.read_text().strip().splitlines()
+    assert 0 < len(lines) <= 15
+    # oracle equivalence through the CLI path
+    fs = {c: fs_feats[np.repeat(np.arange(3), 2) == c] for c in range(3)}
+    ref = sample_retrieved(mined, prompts, "T2T-rank-I2I-tshd",
+                           num_samples=5, t2i_threshold=0.3,
+                           fewshot_feats_by_class=fs)
+    assert [ln.split()[0] for ln in lines] == ref["file_list"]
+
+
 def test_native_index_save_load(tmp_path):
     from swat_tpu.retrieval.indexer import build_library, NativeCaptionIndex
 
@@ -251,13 +323,16 @@ def test_check_metrics_cli(tmp_path, capsys):
 # fused sampler == per-class oracle
 
 
-@pytest.mark.parametrize("strategy", [
-    "T2T-rank", "T2T-rank-T2I-tshd", "I2T-rank", "I2I-rank",
-    "T2T+I2T", "T2T+I2I", "Random", "Random-I2I"])
+from swat_tpu.retrieval.sampler import STRATEGIES
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
 def test_fused_sampler_matches_oracle(pool, rng, strategy):
     """The production fused path (one class-masked matmul + device top-k,
     VERDICT r2 item 2) must select exactly what the reference-shaped
-    per-class loop selects."""
+    per-class loop selects — for ALL 9 reference strategies, including
+    the random ones (identical host-rng consumption) and the I2T/I2I
+    exemplar-max threshold gates."""
     from swat_tpu.retrieval.sampler import sample_retrieved_fused
 
     mined, prompts = pool
@@ -272,9 +347,23 @@ def test_fused_sampler_matches_oracle(pool, rng, strategy):
     assert got["num_sampled"] == ref["num_sampled"]
     np.testing.assert_allclose(got["score_list"], ref["score_list"],
                                rtol=1e-4, atol=1e-6)
-    if strategy not in ("Random", "Random-I2I"):
-        assert got["sampled_info"] == ref["sampled_info"]
-        assert got["filtered_info"] == ref["filtered_info"]
+    assert got["sampled_info"] == ref["sampled_info"]
+    assert got["filtered_info"] == ref["filtered_info"]
+
+
+def test_random_strategies_no_fewshot_at_zero_threshold(pool):
+    """threshold==0 random sampling never touches few-shot features
+    (reference random_sampler[_i2i] only computes similarity when
+    threshold != 0, :621-628) — both engines must accept fs=None."""
+    from swat_tpu.retrieval.sampler import sample_retrieved_fused
+
+    mined, prompts = pool
+    for strat in ("Random", "Random-I2I"):
+        a = sample_retrieved(mined, prompts, strat, num_samples=4, seed=9)
+        b = sample_retrieved_fused(mined, prompts, strat, num_samples=4,
+                                   seed=9)
+        assert a["file_list"] == b["file_list"]
+        assert all(v == 4 for v in a["num_sampled"].values())
 
 
 def test_fused_sampler_with_filters(pool, rng):
@@ -305,7 +394,7 @@ def test_fused_sampler_gapped_class_ids(rng):
     pool = MinedPool(files, labels, img, cap)
     prompts = {"0": {"mean": rng.normal(size=d).astype(np.float32)},
                "2": {"mean": rng.normal(size=d).astype(np.float32)}}
-    for strat in ("T2T-rank", "I2T-rank"):
+    for strat in ("T2T-rank", "T2I-rank"):
         a = sample_retrieved(pool, prompts, strat, num_samples=5)
         b = sample_retrieved_fused(pool, prompts, strat, num_samples=5)
         assert a["file_list"] == b["file_list"]
