@@ -26,6 +26,7 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 
 from swat_tpu.core.precision import FP32_PRECISION
@@ -80,7 +81,7 @@ def _fixtures():
     return sd0, images, labels, head0
 
 
-def _train_torch_twin(sd0, images, labels, head0):
+def _train_torch_twin(sd0, images, labels, head0, optim="AdamW"):
     sd = {k: v.clone().detach() for k, v in sd0.items()}
     vis_params = []
     for k, v in sd.items():
@@ -91,12 +92,16 @@ def _train_torch_twin(sd0, images, labels, head0):
     logit_scale = sd["logit_scale"].clone().detach().requires_grad_(True)
 
     # reference param groups: visual tower at lr_backbone, head +
-    # logit_scale at lr_classifier, text tower excluded (frozen); AdamW
-    # decoupled wd on every group (utils/optimizers.py:38-81,139-146)
-    opt = torch.optim.AdamW(
-        [{"params": vis_params, "lr": LR_BB},
-         {"params": [head, logit_scale], "lr": LR_HEAD}],
-        betas=(0.9, 0.999), eps=1e-8, weight_decay=WD)
+    # logit_scale at lr_classifier, text tower excluded (frozen);
+    # AdamW decoupled wd / SGD momentum-0.9 L2-coupled wd on every
+    # group (utils/optimizers.py:38-81,131-146)
+    groups = [{"params": vis_params, "lr": LR_BB},
+              {"params": [head, logit_scale], "lr": LR_HEAD}]
+    if optim == "AdamW":
+        opt = torch.optim.AdamW(groups, betas=(0.9, 0.999), eps=1e-8,
+                                weight_decay=WD)
+    else:
+        opt = torch.optim.SGD(groups, momentum=0.9, weight_decay=WD)
 
     losses = []
     for i in range(N_STEPS):
@@ -111,10 +116,10 @@ def _train_torch_twin(sd0, images, labels, head0):
         losses.append(loss.item())
 
     final_sd = {k: v.detach().numpy() for k, v in sd.items()}
-    return losses, final_sd, head.detach().numpy(), float(logit_scale)
+    return losses, final_sd, head.detach().numpy(), logit_scale.item()
 
 
-def _train_ours(sd0, images, labels, head0):
+def _train_ours(sd0, images, labels, head0, optim="AdamW"):
     params, ls0 = torch_state_dict_to_params(
         {k: v.clone() for k, v in sd0.items()},
         vision_layers=LAYERS, text_layers=LAYERS)
@@ -122,7 +127,7 @@ def _train_ours(sd0, images, labels, head0):
     state, tx = create_train_state(
         params, head0.numpy(), "finetune", lr_classifier=LR_HEAD,
         lr_backbone=LR_BB, total_iter=N_STEPS, wd=WD,
-        logit_scale=ls0, warmup_iter=WARM)
+        logit_scale=ls0, warmup_iter=WARM, optim_type=optim)
     step = steps_mod.make_ce_step(model, tx, image_size=IMG)
     batch = {
         "images": jnp.asarray(images.numpy()),
@@ -140,11 +145,13 @@ def _train_ours(sd0, images, labels, head0):
     return losses, final_sd, np.asarray(state.head), float(state.logit_scale)
 
 
-def test_training_trajectory_matches_torch():
+@pytest.mark.parametrize("optim", ["AdamW", "SGD"])
+def test_training_trajectory_matches_torch(optim):
     sd0, images, labels, head0 = _fixtures()
     t_losses, t_sd, t_head, t_ls = _train_torch_twin(
-        sd0, images, labels, head0)
-    j_losses, j_sd, j_head, j_ls = _train_ours(sd0, images, labels, head0)
+        sd0, images, labels, head0, optim)
+    j_losses, j_sd, j_head, j_ls = _train_ours(
+        sd0, images, labels, head0, optim)
 
     # the trajectory must actually train (warmup ramps lr up from 1e-6)
     assert t_losses[-1] < t_losses[0]
@@ -210,7 +217,7 @@ def _train_torch_flyp(sd0, images, tokens):
         losses.append(loss.item())
 
     final_sd = {k: v.detach().numpy() for k, v in sd.items()}
-    return losses, final_sd, float(logit_scale)
+    return losses, final_sd, logit_scale.item()
 
 
 def _train_ours_flyp(sd0, images, tokens, head0):
