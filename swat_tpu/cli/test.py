@@ -45,6 +45,9 @@ def main(argv=None):
                    help="write '<path> <pred> 0' lines here — a ready "
                         "--utrain split for pseudo-label training "
                         "(reference utils/dataloader.py:188-202)")
+    p.add_argument("--tau", type=float, default=0.0,
+                   help="apply tau-normalization to the head at test "
+                        "time (reference testing.py:568,721-724)")
     p.add_argument("--folder", default="output/eval")
     args = p.parse_args(argv)
 
@@ -75,6 +78,12 @@ def main(argv=None):
             alt = arrays.get(args.which_head) or {}
             head = alt.get("w", arrays["head"])
         pipe.logger.info(f"Loaded {args.model_path}: meta={meta}")
+
+    if args.tau != 0:
+        from swat_tpu.models.head import tau_normalize
+
+        head = np.asarray(tau_normalize(np.asarray(head), args.tau))
+        pipe.logger.info(f"TAU normalization: tau = {args.tau}")
 
     split = ([args.split], [cfg.dataset_dir])
     if args.predict_labels or args.utrain_out:

@@ -230,6 +230,25 @@ def test_utrain_pseudo_label_flow(dataset_dir, tmp_path):
     assert 0.0 <= acc <= 100.001
 
 
+def test_eval_cli_tau_flag(dataset_dir, tmp_path, capsys):
+    """--tau applies test-time tau-normalization to the head (reference
+    testing.py:568,721-724: W /= ||W||^tau) and still produces the CSV
+    summary line."""
+    from swat_tpu.cli.test import main as test_main
+
+    test_main([
+        "--dataset", DATASET, "--dataset_path", dataset_dir,
+        "--retrieved_path", dataset_dir, "--model_cfg", "test_tiny",
+        "--split", "test.txt", "--bsz", "8", "--num_workers", "2",
+        "--tau", "1.0", "--folder", str(tmp_path / "evalout")])
+    out = capsys.readouterr().out
+    line = [l for l in out.splitlines()
+            if l.startswith(f"{DATASET},test.txt,")]
+    assert len(line) == 1
+    acc = float(line[0].split(",")[2])
+    assert 0.0 <= acc <= 100.001
+
+
 def test_dataset_cls_proper_splits(dataset_dir, tmp_path):
     """data_source=dataset-cls uses dedicated dataset_train/val/test.txt
     with an empty base path (reference utils/parser.py:200-204) and
