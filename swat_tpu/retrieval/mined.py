@@ -68,8 +68,8 @@ def extract_mined_features(model, params, samples: List[Sample],
                            context_length: Optional[int] = None
                            ) -> Dict[str, np.ndarray]:
     """Returns {'image_features', 'caption_features', 'labels',
-    'file_paths'} — the reference's {ds}_{model}_mined.pth bundle
-    (extract_mined_feature.py:252-280)."""
+    'file_paths', 'captions'} — the reference's {ds}_{model}_mined.pth
+    bundle (extract_mined_feature.py:252-280)."""
     import jax
 
     from swat_tpu.data.features import extract_image_features
@@ -99,6 +99,9 @@ def extract_mined_features(model, params, samples: List[Sample],
         "caption_features": cap_feats,
         "labels": np.asarray([s.label for s in samples], np.int32),
         "file_paths": np.asarray([s.path for s in samples]),
+        # carried into the sample stage's sampled/filtered debug lists
+        # (reference check_caption appends the caption to each info line)
+        "captions": np.asarray(captions),
     }
 
 

@@ -109,6 +109,8 @@ def rowwise_p2p_scores(embeddings: np.ndarray,
     fs = np.zeros((num_classes, kmax, d), np.float32)
     counts = np.zeros(num_classes, np.int32)
     for c, v in fewshot_by_class.items():
+        if c >= num_classes:   # class absent from the candidate pool
+            continue
         v = np.asarray(v, np.float32)
         fs[c, : v.shape[0]] = v
         counts[c] = v.shape[0]

@@ -49,6 +49,33 @@ AUX_THRESHOLD_DEFAULTS = {
 }
 
 
+def strategy_needs_fewshot(strategy: str, threshold: float = 0.0) -> bool:
+    """Strategies whose score or gate reads few-shot exemplar features
+    (reference get_fewshot_features callers).  Random-I2I touches them
+    only when thresholding (random_sampler_i2i :764-771)."""
+    if strategy in ("I2I-rank", "I2T-rank", "T2T-rank-I2T-tshd",
+                    "T2T-rank-I2I-tshd"):
+        return True
+    return strategy == "Random-I2I" and threshold != 0
+
+
+def _check_fewshot(strategy, threshold, fewshot_feats_by_class, classes):
+    """Both engines fail identically and early when few-shot features are
+    required but absent (the oracle's lazy KeyError and the fused path's
+    silent -inf scoring used to disagree)."""
+    if not strategy_needs_fewshot(strategy, threshold):
+        return
+    if fewshot_feats_by_class is None:
+        raise ValueError(
+            f"strategy {strategy!r} requires few-shot exemplar features "
+            "(fewshot_feats_by_class / --fewshot_features)")
+    missing = [c for c in classes if c not in fewshot_feats_by_class]
+    if missing:
+        raise ValueError(
+            f"strategy {strategy!r}: no few-shot features for pool "
+            f"class(es) {missing}")
+
+
 class MinedPool:
     """Per-class candidates: file paths + image/caption embeddings.
 
@@ -94,6 +121,8 @@ def sample_retrieved(
         raise NotImplementedError(f"strategy {strategy}")
     if t2i_threshold is None:
         t2i_threshold = AUX_THRESHOLD_DEFAULTS.get(strategy, 0.25)
+    _check_fewshot(strategy, threshold, fewshot_feats_by_class,
+                   pool.classes())
     rng = np.random.default_rng(seed)
 
     drop: Dict[int, set] = defaultdict(set)
@@ -278,6 +307,8 @@ def sample_retrieved_fused(
         raise NotImplementedError(f"strategy {strategy}")
     if t2i_threshold is None:
         t2i_threshold = AUX_THRESHOLD_DEFAULTS.get(strategy, 0.25)
+    _check_fewshot(strategy, threshold, fewshot_feats_by_class,
+                   pool.classes())
 
     import jax.numpy as jnp
 
@@ -301,10 +332,8 @@ def sample_retrieved_fused(
 
     t2i = None
     if strategy == "T2T-rank-T2I-tshd":
-        P = np.zeros((C, pool.image_feats.shape[1]), np.float32)
-        for c in pool.classes():
-            P[c] = np.asarray(prompt_tensors[str(c)]["mean"], np.float32)
-        t2i = _rowwise_scores(pool.image_feats, P, dev_labels)
+        # W is already the [C, D] prompt-mean matrix for the T2T family
+        t2i = _rowwise_scores(pool.image_feats, W, dev_labels)
     elif strategy == "T2T-rank-I2T-tshd":
         t2i = R.rowwise_p2p_scores(pool.caption_feats,
                                    fewshot_feats_by_class, labels, C, "max")

@@ -19,6 +19,7 @@ import optax
 
 from swat_tpu.train.optim import (
     LOG100,
+    WARMUP_ITER,
     build_optimizer,
     label_params,
     trains_logit_scale,
@@ -80,7 +81,7 @@ def create_train_state(params, head, method: str, *,
                        temperature: float = 0.07,
                        logit_scale: Optional[float] = None,
                        locked_text: bool = False,
-                       warmup_iter: int = 50):
+                       warmup_iter: int = WARMUP_ITER):
     """Returns (state, tx). ``params``/``head`` may be host arrays; they are
     device_put once here (host trees re-upload per step otherwise)."""
     labels = make_labels(params, method, head, locked_text)

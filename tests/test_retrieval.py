@@ -251,11 +251,13 @@ def test_sample_cli_fewshot_strategy(tmp_path, pool, rng, capsys):
     from swat_tpu.retrieval.cli import main as cli_main
 
     mined, prompts = pool
+    captions = [f"caption {i}" for i in range(len(mined.file_paths))]
     np.savez(tmp_path / "mined.npz",
              file_paths=np.array(mined.file_paths),
              labels=mined.labels,
              image_features=mined.image_feats,
-             caption_features=mined.caption_feats)
+             caption_features=mined.caption_feats,
+             captions=np.array(captions))
     save_prompt_tensors(str(tmp_path / "prompts.npz"),
                         {c: {"all": p["mean"][None], "mean": p["mean"]}
                          for c, p in prompts.items()})
@@ -275,10 +277,16 @@ def test_sample_cli_fewshot_strategy(tmp_path, pool, rng, capsys):
     assert 0 < len(lines) <= 15
     # oracle equivalence through the CLI path
     fs = {c: fs_feats[np.repeat(np.arange(3), 2) == c] for c in range(3)}
-    ref = sample_retrieved(mined, prompts, "T2T-rank-I2I-tshd",
+    mined_cap = MinedPool(mined.file_paths, mined.labels,
+                          mined.image_feats, mined.caption_feats,
+                          captions=captions)
+    ref = sample_retrieved(mined_cap, prompts, "T2T-rank-I2I-tshd",
                            num_samples=5, t2i_threshold=0.3,
                            fewshot_feats_by_class=fs)
     assert [ln.split()[0] for ln in lines] == ref["file_list"]
+    # sampled debug list carries the caption (reference check_caption)
+    sampled = (tmp_path / "T2T500_sampled_list.txt").read_text()
+    assert ", caption " in sampled
 
 
 def test_native_index_save_load(tmp_path):
@@ -349,6 +357,37 @@ def test_fused_sampler_matches_oracle(pool, rng, strategy):
                                rtol=1e-4, atol=1e-6)
     assert got["sampled_info"] == ref["sampled_info"]
     assert got["filtered_info"] == ref["filtered_info"]
+
+
+def test_fewshot_class_gaps_and_missing_features(rng):
+    """(1) Few-shot bundle covering a class ABSENT from the pool must not
+    crash the fused exemplar gate (fs matrix is sized by pool classes);
+    (2) a pool class with no few-shot features fails identically and
+    early in BOTH engines (the oracle used to KeyError lazily while the
+    fused path silently -inf'd every candidate)."""
+    from swat_tpu.retrieval.sampler import sample_retrieved_fused
+
+    d = 16
+    labels = np.array([0] * 5 + [1] * 5, np.int32)   # no class 2 in pool
+    img = rng.normal(size=(10, d)).astype(np.float32)
+    cap = rng.normal(size=(10, d)).astype(np.float32)
+    mined = MinedPool([f"/p/{i}.jpg" for i in range(10)], labels, img, cap)
+    prompts = {str(c): {"mean": np.eye(3, d)[c].astype(np.float32)}
+               for c in range(3)}
+    fs = {c: rng.normal(size=(2, d)).astype(np.float32) for c in range(3)}
+
+    kw = dict(num_samples=3, threshold=-10.0, t2i_threshold=-10.0,
+              fewshot_feats_by_class=fs)
+    a = sample_retrieved(mined, prompts, "T2T-rank-I2I-tshd", **kw)
+    b = sample_retrieved_fused(mined, prompts, "T2T-rank-I2I-tshd", **kw)
+    assert a["file_list"] == b["file_list"] and len(a["file_list"]) == 6
+
+    for engine in (sample_retrieved, sample_retrieved_fused):
+        with pytest.raises(ValueError, match="fewshot"):
+            engine(mined, prompts, "I2I-rank", num_samples=3)
+        with pytest.raises(ValueError, match=r"class\(es\) \[1\]"):
+            engine(mined, prompts, "I2T-rank", num_samples=3,
+                   fewshot_feats_by_class={0: fs[0], 2: fs[2]})
 
 
 def test_random_strategies_no_fewshot_at_zero_threshold(pool):
