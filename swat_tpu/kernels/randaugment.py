@@ -39,18 +39,18 @@ def _grayscale(img):
 
 
 def _affine_nearest(img, a, b, c, d, e, f):
-    """PIL transform(AFFINE): output (x,y) samples input (a*x+b*y+c,
-    d*x+e*y+f), nearest neighbor, black outside."""
+    """PIL transform(AFFINE) bit-faithful: output pixel (x, y) samples the
+    input at (a*(x+.5)+b*(y+.5)+c, d*(x+.5)+e*(y+.5)+f) — PIL maps pixel
+    CENTERS — with NEAREST = truncation (Geometry.c COORD()), black
+    outside."""
     h, w, _ = img.shape
-    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5
     sx = a * xs + b * ys + c
     sy = d * xs + e * ys + f
-    ix = jnp.round(sx).astype(jnp.int32)
-    iy = jnp.round(sy).astype(jnp.int32)
-    valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
-    ix = jnp.clip(ix, 0, w - 1)
-    iy = jnp.clip(iy, 0, h - 1)
+    valid = (sx >= 0) & (sx < w) & (sy >= 0) & (sy < h)
+    ix = jnp.clip(sx.astype(jnp.int32), 0, w - 1)   # trunc like COORD()
+    iy = jnp.clip(sy.astype(jnp.int32), 0, h - 1)
     out = img[iy, ix]
     return jnp.where(valid[..., None], out, 0.0)
 
@@ -148,12 +148,14 @@ def op_solarize(img, v, key):
 
 
 def op_rotate(img, v, key):
-    # PIL img.rotate(deg) rotates counter-clockwise about the center
-    theta = -v * jnp.pi / 180.0
+    # PIL img.rotate(deg): inverse map about (w/2, h/2) with matrix
+    # [cos, -sin; sin, cos] of +deg (bit-exact vs PIL, tests/
+    # test_randaugment.py; the previous -deg convention rotated the
+    # opposite way from the reference)
+    theta = v * jnp.pi / 180.0
     h, w, _ = img.shape
-    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    cy, cx = h / 2.0, w / 2.0
     cos, sin = jnp.cos(theta), jnp.sin(theta)
-    # inverse map: translate to center, rotate, translate back
     a, b = cos, -sin
     d, e = sin, cos
     c = cx - a * cx - b * cy
@@ -170,13 +172,15 @@ def op_shear_y(img, v, key):
 
 
 def op_translate_x(img, v, key):
+    # reference TranslateX: v = int(v * w) — trunc toward zero, NOT floor
+    # (floor(-3.7) = -4 would over-shift negative translations)
     w = img.shape[1]
-    return _affine_nearest(img, 1.0, 0.0, jnp.floor(v * w), 0.0, 1.0, 0.0)
+    return _affine_nearest(img, 1.0, 0.0, jnp.trunc(v * w), 0.0, 1.0, 0.0)
 
 
 def op_translate_y(img, v, key):
     h = img.shape[0]
-    return _affine_nearest(img, 1.0, 0.0, 0.0, 0.0, 1.0, jnp.floor(v * h))
+    return _affine_nearest(img, 1.0, 0.0, 0.0, 0.0, 1.0, jnp.trunc(v * h))
 
 
 def cutout_abs(img, size, key):
@@ -192,7 +196,8 @@ def cutout_abs(img, size, key):
     y1 = jnp.minimum(h, y0 + size)
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    mask = (ys >= y0) & (ys < y1) & (xs >= x0) & (xs < x1)
+    # PIL ImageDraw.rectangle((x0, y0, x1, y1)) INCLUDES the x1/y1 edge
+    mask = (ys >= y0) & (ys <= y1) & (xs >= x0) & (xs <= x1)
     return jnp.where(mask[..., None], 127.0, img)
 
 
