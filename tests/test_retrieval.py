@@ -71,6 +71,32 @@ def test_native_index_matches_python():
             err_msg=q)
 
 
+def test_native_index_randomized_differential(rng):
+    """Fuzz the C++ index against the python engine: random corpora and
+    random AND/phrase queries must agree exactly (the binary format +
+    binary-search vocab path has no reference oracle other than the
+    python engine)."""
+    from swat_tpu.retrieval.indexer import build_library, NativeCaptionIndex
+
+    if build_library() is None:
+        pytest.skip("g++ unavailable")
+    vocab = ["plover", "semipalmated", "bird", "car", "honda", "red",
+             "2012", "the", "a", "sea-side", "o'hara", "Ünïcode", ""]
+    for trial in range(5):
+        captions = [" ".join(rng.choice(vocab,
+                                        size=rng.integers(1, 7)))
+                    for _ in range(rng.integers(30, 120))]
+        py = SM.CaptionIndex(captions)
+        cc = NativeCaptionIndex(captions)
+        for _ in range(20):
+            q = " ".join(rng.choice(vocab, size=rng.integers(1, 4)))
+            phrase = bool(rng.integers(0, 2))
+            np.testing.assert_array_equal(
+                np.sort(np.asarray(cc.query(q, phrase))),
+                np.sort(np.asarray(py.query(q, phrase))),
+                err_msg=f"trial {trial} q={q!r} phrase={phrase}")
+
+
 def test_match_class_synonyms_dedup():
     idx = SM.CaptionIndex(CAPTIONS)
     metrics = {"name": "Semipalmated Plover",
