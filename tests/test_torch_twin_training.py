@@ -177,6 +177,60 @@ def test_training_trajectory_matches_torch(optim):
 
 
 # ---------------------------------------------------------------------------
+# probing (stage-2 / REAL-Linear core): pre-extracted features, head-only
+# AdamW at lr_classifier, logit_scale FIXED at ln(100) — not a param
+# (reference train_probing utils/training.py:47-161, set_params :53-59)
+
+
+def test_probing_trajectory_matches_torch():
+    g = torch.Generator().manual_seed(41)
+    feats = torch.randn(B, EMBED, generator=g)
+    feats = feats / feats.norm(dim=-1, keepdim=True)
+    labels = torch.randint(0, C, (B,), generator=g)
+    head0 = torch.randn(C, EMBED, generator=g) * 0.05
+
+    head = head0.clone().detach().requires_grad_(True)
+    opt = torch.optim.AdamW([{"params": [head], "lr": LR_HEAD}],
+                            betas=(0.9, 0.999), eps=1e-8, weight_decay=WD)
+    t_losses = []
+    for i in range(N_STEPS):
+        opt.param_groups[0]["lr"] = _ref_lr(i, LR_HEAD)
+        opt.zero_grad()
+        logits = math.exp(math.log(100.0)) * (feats @ head.T)
+        loss = torch.nn.functional.cross_entropy(logits, labels)
+        loss.backward()
+        opt.step()
+        t_losses.append(loss.item())
+
+    sd0 = make_oracle_sd(seed=11)
+    params, _ = torch_state_dict_to_params(
+        {k: v.clone() for k, v in sd0.items()},
+        vision_layers=LAYERS, text_layers=LAYERS)
+    model = CLIPModel(CFG, precision=FP32_PRECISION)
+    state, tx = create_train_state(
+        params, head0.numpy(), "probing", lr_classifier=LR_HEAD,
+        total_iter=N_STEPS, wd=WD, warmup_iter=WARM)
+    assert float(state.logit_scale) == pytest.approx(math.log(100.0))
+    step = steps_mod.make_probing_step(model, tx, pre_extracted=True)
+    batch = {"features": jnp.asarray(feats.numpy()),
+             "labels": jnp.asarray(labels.numpy()),
+             "source": jnp.zeros((B,), jnp.int32)}
+    j_losses = []
+    for _ in range(N_STEPS):
+        state, loss = step(state, batch, jax.random.PRNGKey(0))
+        j_losses.append(float(loss))
+
+    np.testing.assert_allclose(j_losses, t_losses, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(state.head),
+                               head.detach().numpy(), rtol=0, atol=2e-5)
+    # logit_scale stays pinned; the whole model tree stays bit-frozen
+    assert float(state.logit_scale) == pytest.approx(math.log(100.0))
+    for a, b in zip(jax.tree_util.tree_leaves(state.model),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ---------------------------------------------------------------------------
 # FLYP: bidirectional InfoNCE, BOTH towers train, projectors at
 # lr_projector, logit_scale at lr_classifier, head NOT in the optimizer
 # (reference train_flyp utils/training.py:415-552, set_params :83-120)
