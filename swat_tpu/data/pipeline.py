@@ -135,6 +135,37 @@ class EvalLoader:
         return _prefetch(self._batches())
 
 
+class TrainSnapshotLoader(EvalLoader):
+    """EvalLoader-shaped pass (deterministic order, padded+masked) that
+    applies the TRAIN transform once per image: the reference extracts
+    pre-extracted TRAIN features with ``transform(224, 'train')`` — one
+    random-crop/flip snapshot per image — while val/test use the eval
+    transform (reference pre_extract_feature, utils/dataloader.py:72-81,
+    and extract_train_dataloader :278-287).  ``seed`` makes the snapshot
+    reproducible so the persistent feature cache stays meaningful."""
+
+    def __init__(self, samples, batch_size: int = 256, n_px: int = 224,
+                 num_workers: int = 16, seed: int = 1):
+        super().__init__(samples, batch_size, n_px, num_workers)
+        self.seed = seed
+
+    def _load_chunk(self, chunk, pool) -> np.ndarray:
+        import zlib
+
+        from swat_tpu.data.transforms import host_train_preprocess
+
+        def load(s):
+            # per-sample rng keyed on (seed, path): reproducible across
+            # runs/processes (unlike builtin hash) so the cached snapshot
+            # is stable
+            rng = np.random.default_rng(
+                (self.seed, zlib.crc32(s.path.encode())))
+            return host_train_preprocess(load_image(s.path), rng,
+                                         self.n_px)
+
+        return np.stack(list(pool.map(load, chunk))).astype(np.float32)
+
+
 class TrainLoader:
     """Shuffled, drop-last train batches.
 

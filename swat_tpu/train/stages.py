@@ -30,6 +30,7 @@ from swat_tpu.data.pipeline import (
     EvalLoader,
     FeatureBatches,
     TrainLoader,
+    TrainSnapshotLoader,
     WeightedTrainLoader,
 )
 from swat_tpu.data.splits import class_counts, read_split
@@ -138,7 +139,6 @@ class SwatPipeline:
 
         self.evaluator = Evaluator(self.model, cfg.num_classes,
                                    loss=self._loss(), mesh=self.mesh)
-        self._feature_cache: Dict[str, dict] = {}
         self._resident_eval_cache: Dict[str, object] = {}
         self._scan_eval = None
 
@@ -247,16 +247,6 @@ class SwatPipeline:
                                            self.mesh),
             logger=self.logger)
 
-    def _features_for(self, split, params, tag: str, train_mode=False):
-        """Extract (or reuse) normalized features for a split with the given
-        params; cached in memory per (tag)."""
-        if tag in self._feature_cache:
-            return self._feature_cache[tag]
-        loader = self._eval_loader(split, bsz=256)
-        feats = extract_image_features(self.model, params, loader, self.mesh)
-        self._feature_cache[tag] = feats
-        return feats
-
     def _resident_eval_for(self, split) -> Optional[object]:
         """ResidentEval for a split when enabled and within budget; cached.
         One device dispatch per validation pass (scan_loop.make_scan_eval)."""
@@ -302,9 +292,13 @@ class SwatPipeline:
     # ------------------------------------------------------------------
     # zero-shot (reference run_zeroshot, utils/training.py:23-44)
 
-    def run_zeroshot(self) -> float:
+    def run_zeroshot(self, params=None) -> float:
+        """``params`` defaults to the pretrained tree; run_stage1 passes
+        the --model_path-loaded tree (reference loads the checkpoint
+        before run_zeroshot, main.py:215-221) while the head stays the
+        prompt-built one from the pretrained text tower."""
         acc, _, _ = self._validate_images(
-            self.params, self.zeroshot_head,
+            self.params if params is None else params, self.zeroshot_head,
             np.log(100.0), self.cfg.test_split, return_confusion=False)
         self.logger.info(f"+++++ Zero-shot Test Acc: {round(acc, 3)}")
         return acc
@@ -323,20 +317,36 @@ class SwatPipeline:
         frozen = method in ("probing", "REAL-Linear", "CMLP")
 
         if frozen:
-            # pre-extract features with the (frozen) current params —
-            # persisted across runs (reference pre_extract_feature,
-            # utils/dataloader.py:35-104), busted by --recal_fea
+            # val/test eval-transform features are deterministic, so the
+            # per-epoch validation reuses them in BOTH pre_extracted
+            # modes (same values as the reference's per-epoch re-encode).
+            # The TRAIN side follows the reference exactly:
+            #  * pre_extracted=False (the parser default — the probing
+            #    `args.pre_extracted = True` line is commented out,
+            #    utils/parser.py:169): stream images with fresh train
+            #    augmentation every step (train_probing :94-99);
+            #  * pre_extracted=True: ONE train-transform snapshot
+            #    (pre_extract_feature extracts the train split with
+            #    transform(224,'train'), utils/dataloader.py:72-81),
+            #    persisted across runs, busted by --recal_fea.
             _train_smp = self._train_samples(cfg)
-            train_feats = self._cached_extract(
-                cfg, params, "train",
-                lambda: EvalLoader(_train_smp, 256,
-                                   image_size, cfg.num_workers),
-                samples=_train_smp)
-            train_loader = FeatureBatches(
-                train_feats["image_features"], train_feats["labels"],
-                batch_size=cfg.bsz, shuffle=True, drop_last=True,
-                seed=cfg.training_seed,
-                source=train_feats.get("source"))
+            if cfg.pre_extracted:
+                train_feats = self._cached_extract(
+                    cfg, params, "train_trainaug",
+                    lambda: TrainSnapshotLoader(
+                        _train_smp, 256, image_size, cfg.num_workers,
+                        seed=cfg.training_seed),
+                    samples=_train_smp)
+                train_loader = FeatureBatches(
+                    train_feats["image_features"], train_feats["labels"],
+                    batch_size=cfg.bsz, shuffle=True, drop_last=True,
+                    seed=cfg.training_seed,
+                    source=train_feats.get("source"))
+            else:
+                train_loader = TrainLoader(
+                    _train_smp, batch_size=cfg.bsz,
+                    seed=cfg.training_seed, mode=cfg.aug_mode,
+                    n_px=image_size, num_workers=cfg.num_workers)
             _val_smp = self._samples(cfg.val_split)
             val_feats = self._cached_extract(
                 cfg, params, "val",
@@ -435,10 +445,11 @@ class SwatPipeline:
         twin_cycler = None
         post_epoch = None
         if method in ("probing", "REAL-Linear"):
-            step = S.make_probing_step(self.model, tx, loss, True,
-                                       image_size)
+            step = S.make_probing_step(self.model, tx, loss,
+                                       cfg.pre_extracted, image_size)
         elif method == "CMLP":
-            step = S.make_cmlp_step(self.model, tx, loss)
+            step = S.make_cmlp_step(self.model, tx, loss,
+                                    cfg.pre_extracted, image_size)
             bank = self.prompt_tensors
             if cfg.use_attribute:
                 # attribute-augmented text bank (reference
@@ -520,8 +531,6 @@ class SwatPipeline:
 
         if method != "fixmatch":
             if twin_cycler is not None:
-                suffix = "_text" if method == "CMLP" else "_fs"
-
                 def train_batches():
                     if method == "CMLP":
                         for b in train_loader:
@@ -777,10 +786,18 @@ class SwatPipeline:
         cfg = self.cfg
         logger = self.logger
 
+        # warm start BEFORE the zero-shot check: the reference loads
+        # --model_path first (main.py:215-221), so check_zeroshot /
+        # zeroshot_only report the LOADED model's accuracy (with the
+        # prompt-built head from the pretrained text tower)
+        params, head = self.params, self.head
+        if cfg.model_path:
+            params, head, _, _ = self._load_ckpt(cfg.model_path)
+
         zs_acc = None
         if cfg.check_zeroshot or cfg.method == "zeroshot":
             logger.info("Check Zero-shot Acc ......")
-            zs_acc = self.run_zeroshot()
+            zs_acc = self.run_zeroshot(params)
         if cfg.zeroshot_only or cfg.method == "zeroshot":
             summary = (f"{cfg.dataset},{cfg.method},{cfg.data_source},"
                        f"{cfg.cls_init},{cfg.shots},{cfg.seed},"
@@ -792,10 +809,6 @@ class SwatPipeline:
         if cfg.skip_stage1:
             logger.info("Skip stage 1 finetuning.")
             return -1.0, cfg.stage1_model_path, -1.0
-
-        params, head = self.params, self.head
-        if cfg.model_path:
-            params, head, _, _ = self._load_ckpt(cfg.model_path)
 
         state, best = self.train_method(cfg, params, head)
         best_trainable = best.trainable
@@ -831,13 +844,21 @@ class SwatPipeline:
         logger.info(f"+++++ Test Acc: {round(test_acc, 3)}")
         save_test_scores(scores, test_cm, cfg.output_dir, "test", stage=1)
 
-        # ---- tau normalization
+        # ---- tau normalization.  With --no_tau unset but tau_norm False
+        # the reference still stores a COPY of the best head with
+        # tau=0.0/acc=0.0 in the bundle (run_tau_normalization's
+        # untaken-branch returns, main.py:29-32,73) — consumers loading
+        # best_tau_head from a stage-1 bundle rely on it being present
         best_tau_head, best_tau, best_tau_test_acc = None, -1, -1.0
-        if not cfg.no_tau and cfg.tau_norm:
-            logger.info("Check Tau Normalization ......")
-            best_tau_head, best_tau, best_tau_test_acc = (
-                self.run_tau_normalization(cfg, best_head, val_feats,
-                                           test_feats, logit_scale))
+        if not cfg.no_tau:
+            if cfg.tau_norm:
+                logger.info("Check Tau Normalization ......")
+                best_tau_head, best_tau, best_tau_test_acc = (
+                    self.run_tau_normalization(cfg, best_head, val_feats,
+                                               test_feats, logit_scale))
+            else:
+                best_tau_head = np.array(best_head, copy=True)
+                best_tau, best_tau_test_acc = 0.0, 0.0
 
         path = save_best_model(
             cfg.output_dir, 1, best_records=best.records,
@@ -855,7 +876,7 @@ class SwatPipeline:
     # ------------------------------------------------------------------
     # stage 2 probing (reference run_stage2_probing, main.py:402-474)
 
-    def run_stage2_probing(self, stage1_path: str) -> float:
+    def run_stage2_probing(self, stage1_path: str):
         cfg = self.cfg
         logger = self.logger
         logger.info("Run stage 2 classifier retraining ......")
@@ -868,14 +889,17 @@ class SwatPipeline:
             epochs=10, early_stop=False,
             data_source="fewshot")
 
-        # few-shot train features (reference extracts with the *train*
-        # transform and uses the train loader as val, main.py:413-415)
+        # few-shot train features — extracted with the *train* transform
+        # (one random-crop/flip snapshot per image) exactly like the
+        # reference's extract_train_dataloader (main.py:413-415,
+        # utils/dataloader.py:278-287)
         _fs_smp = self._samples(cfg.fewshot_data)
         train_feats = self._cached_extract(
-            cfg, params, "fsprobe",
-            lambda: EvalLoader(_fs_smp, 128,
-                               self.model_cfg.vision.image_size,
-                               cfg.num_workers),
+            cfg, params, "fsprobe_trainaug",
+            lambda: TrainSnapshotLoader(_fs_smp, 128,
+                                        self.model_cfg.vision.image_size,
+                                        cfg.num_workers,
+                                        seed=cfg.training_seed),
             samples=_fs_smp)
         _t_smp = self._samples(cfg.test_split)
         test_feats = self._cached_extract(
@@ -926,17 +950,17 @@ class SwatPipeline:
         scores = calculate_scores(test_cm)
         logger.info(f"+++++ stage 2 Test Acc: {round(test_acc, 3)}")
         save_test_scores(scores, test_cm, cfg.output_dir, "test", stage=2)
-        save_best_model(
+        path = save_best_model(
             cfg.output_dir, 2, best_records=best.records,
             model_params=best.trainable["model"],
             head=_cls_head(best.trainable["head"]),
             logit_scale=best.trainable["logit_scale"], test_acc=test_acc)
-        return test_acc
+        return test_acc, path
 
     # ------------------------------------------------------------------
     # stage 2 FSFT (reference run_stage2_FSFT, main.py:478-540)
 
-    def run_stage2_fsft(self, stage1_path: str) -> float:
+    def run_stage2_fsft(self, stage1_path: str):
         cfg = self.cfg
         logger = self.logger
         logger.info("Run stage 2 few-shot finetuning ......")
@@ -955,25 +979,27 @@ class SwatPipeline:
         scores = calculate_scores(test_cm)
         logger.info(f"+++++ Stage 2 FSFT Test Acc: {round(test_acc, 3)}")
         save_test_scores(scores, test_cm, cfg.output_dir, "test", stage=3)
-        save_best_model(
+        path = save_best_model(
             cfg.output_dir, 3, best_records=best.records,
             model_params=best.trainable["model"],
             head=_cls_head(best.trainable["head"]),
             logit_scale=best.trainable["logit_scale"], test_acc=test_acc)
-        return test_acc
+        return test_acc, path
 
     # ------------------------------------------------------------------
     # ImageNet OOD sweep (reference main.py:599-602, testing.py:22-72)
 
-    def run_ood(self, stage1_path: Optional[str] = None) -> Dict[str, float]:
-        """4-dataset OOD sweep with the stage-1 best model (the reference
-        passes the live ``model`` object, which at that point holds the
-        stage-1 best weights reloaded by the stage-2 runs)."""
+    def run_ood(self, model_path: Optional[str] = None) -> Dict[str, float]:
+        """4-dataset OOD sweep.  The reference passes the live ``model``
+        object AFTER run_stage2_FSFT (main.py:599-602), which by then
+        holds the stage-2 FSFT weights (train_ce mutates it in place;
+        with early_stop=False final == best) — so callers pass the most
+        downstream stage bundle that ran (FSFT > LP > stage-1)."""
         from swat_tpu.eval.ood import test_imagenet_ood
 
         params, head = self.params, self.head
-        if stage1_path:
-            params, head, _, _ = self._load_ckpt(stage1_path)
+        if model_path:
+            params, head, _, _ = self._load_ckpt(model_path)
 
         def make_loader(samples):
             return EvalLoader(samples, batch_size=256,
@@ -1001,22 +1027,33 @@ class SwatPipeline:
         stage1_acc, stage1_path, wsft_acc = self.run_stage1()
         if cfg.zeroshot_only or cfg.method == "zeroshot":
             return ""
+        if cfg.method == "dataset-cls":
+            # the reference exits right after train_dataset_cls
+            # (main.py:329-330): no stage 2, no summary row for the
+            # harness to ingest
+            self.logger.info("dataset-cls run complete (no summary row; "
+                             "reference exits after training).")
+            return ""
 
         stage2_lp_acc = -1.0
         stage2_fsft_acc = -1.0
+        ood_path = stage1_path
         if not cfg.skip_stage2 and stage1_path:
-            stage2_lp_acc = self.run_stage2_probing(stage1_path)
-            stage2_fsft_acc = self.run_stage2_fsft(stage1_path)
+            stage2_lp_acc, lp_path = self.run_stage2_probing(stage1_path)
+            stage2_fsft_acc, fsft_path = self.run_stage2_fsft(stage1_path)
+            ood_path = fsft_path or lp_path or stage1_path
         else:
             self.logger.info("Skip stage 2.")
 
         self.logger.info(
             f"Total time: {round((time.time() - start) / 60, 1)} mins.")
 
-        # ---- ImageNet OOD sweep (reference main.py:599-602)
+        # ---- ImageNet OOD sweep (reference main.py:599-602, run on the
+        # most downstream trained weights — the live model holds the
+        # stage-2 FSFT state there)
         if cfg.test_imagenet_ood:
             self.logger.info("Test ImageNet OOD ......")
-            self.run_ood(stage1_path)
+            self.run_ood(ood_path)
 
         summary = (f"{cfg.dataset},{stage1_method},{cfg.data_source},"
                    f"{cfg.cls_init},{cfg.shots},{cfg.seed},"

@@ -96,8 +96,12 @@ def make_probing_step(model: CLIPModel, tx, loss: LossFn = cross_entropy,
             if pre_extracted:
                 feats = batch["features"]
             else:
-                feats = _encode(model, trainable["model"],
-                                _get_images(batch, key, image_size))
+                # streaming mode (reference default pre_extracted=False):
+                # fresh train augmentation + encode every step; the
+                # encoder is frozen, so stop_gradient skips its backward
+                feats = jax.lax.stop_gradient(
+                    _encode(model, trainable["model"],
+                            _get_images(batch, key, image_size)))
             logits = _scaled_logits(trainable["head"],
                                     trainable["logit_scale"], feats)
             return loss(logits, batch["labels"], batch["source"])
@@ -108,16 +112,24 @@ def make_probing_step(model: CLIPModel, tx, loss: LossFn = cross_entropy,
     return step
 
 
-def make_cmlp_step(model: CLIPModel, tx, loss: LossFn = cross_entropy):
+def make_cmlp_step(model: CLIPModel, tx, loss: LossFn = cross_entropy,
+                   pre_extracted: bool = True, image_size: int = 224):
     """Cross-modal LP (reference train_CMLP, utils/training.py:164-293):
     concat image features with a batch of text-prompt embeddings sharing
-    labels.  Batch needs 'features', 'text_features', 'text_labels'."""
+    labels.  Batch needs 'features' (or images/canvases when
+    pre_extracted=False), 'text_features', 'text_labels'."""
 
     @functools.partial(jax.jit, donate_argnums=0)
     def step(state: TrainState, batch, key):
         def loss_fn(trainable):
+            if pre_extracted:
+                img_feats = batch["features"]
+            else:
+                img_feats = jax.lax.stop_gradient(
+                    _encode(model, trainable["model"],
+                            _get_images(batch, key, image_size)))
             feats = jnp.concatenate(
-                [batch["features"], batch["text_features"]], axis=0)
+                [img_feats, batch["text_features"]], axis=0)
             labels = jnp.concatenate(
                 [batch["labels"], batch["text_labels"]], axis=0)
             logits = _scaled_logits(trainable["head"],

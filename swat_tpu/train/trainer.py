@@ -25,10 +25,14 @@ from swat_tpu.core.mesh import shard_batch
 from swat_tpu.eval.metrics import calculate_scores
 from swat_tpu.train.checkpoint import save_train_ckpt
 
-# methods whose reference trainer validates every epoch (ungated)
+# methods whose reference trainer validates every epoch (ungated);
+# NOTE: even these gate the BEST-snapshot update on early_stop/last-epoch
+# (e.g. train_probing utils/training.py:120, train_ce_mixed :770), so
+# with early_stop=False the selected model is always the LAST epoch's —
+# the per-epoch validation only feeds logs/loss.csv
 VALIDATE_EVERY_EPOCH = {
-    "probing", "REAL-Linear", "finetune-mixed", "mixup", "mixup-fs",
-    "cutmix-fs", "resizemix", "attentivemix",
+    "probing", "REAL-Linear", "finetune-mixed", "finetune-multitask",
+    "mixup", "mixup-fs", "cutmix-fs", "resizemix", "attentivemix",
 }
 
 
@@ -139,14 +143,19 @@ def train_loop(
             train_loss_sum = float(sum(epoch_losses[1:], epoch_losses[0])) \
                 if epoch_losses else 0.0
 
-        if post_epoch is not None:
+        snapshot_epoch = cfg.early_stop or epoch == cfg.epochs
+        do_validate = every_epoch or snapshot_epoch
+        if post_epoch is not None and do_validate:
+            # FLYP's head rebuild happens only on validation epochs in
+            # the reference (train_flyp utils/training.py:488-490)
             state = post_epoch(state, epoch)
-
-        do_validate = every_epoch or cfg.early_stop or epoch == cfg.epochs
         if do_validate:
             val_acc, val_loss, cm = validate_fn(state)
             scores = calculate_scores(cm) if cm is not None else {}
-            if val_acc >= best.val_acc:
+            # the reference gates the best update on early_stop/last
+            # epoch even in every-epoch-validating trainers
+            # (utils/training.py:120,770,1232,1506)
+            if snapshot_epoch and val_acc >= best.val_acc:
                 best.val_acc = val_acc
                 best.trainable = snapshot_trainable(state)
                 best.records = {
