@@ -286,8 +286,11 @@ long dec_eval_batch(const char** paths, long n, long n_px, uint8_t* out,
         }
         std::vector<uint8_t> resized(size_t(nh) * nw * 3);
         resize_bicubic(px.data(), h, w, resized.data(), nh, nw);
-        int left = (nw - int(n_px)) / 2;
-        int top = (nh - int(n_px)) / 2;
+        // torchvision F.center_crop: int(round(d / 2.0)) with python's
+        // round-half-even — llrint under the default FP rounding mode
+        // matches; plain integer /2 floors and shifts d%4==3 crops
+        int left = int(std::llrint((nw - int(n_px)) / 2.0));
+        int top = int(std::llrint((nh - int(n_px)) / 2.0));
         for (int y = 0; y < int(n_px); ++y)
             std::memcpy(dst + size_t(y) * n_px * 3,
                         resized.data() +

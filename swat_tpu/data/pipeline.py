@@ -142,10 +142,25 @@ class TrainSnapshotLoader(EvalLoader):
     random-crop/flip snapshot per image — while val/test use the eval
     transform (reference pre_extract_feature, utils/dataloader.py:72-81,
     and extract_train_dataloader :278-287).  ``seed`` makes the snapshot
-    reproducible so the persistent feature cache stays meaningful."""
+    reproducible so the persistent feature cache stays meaningful.
+
+    ``shuffle_drop_bsz``: the stage-2 extract_train_dataloader runs its
+    extraction DataLoader with shuffle=True, drop_last=True at bsz=128
+    (:285-286), silently discarding up to bsz-1 random samples from the
+    probing train set — set it to reproduce that (stage-1
+    pre_extract_feature uses shuffle=False, drop_last=False and keeps
+    everything, :79-80)."""
 
     def __init__(self, samples, batch_size: int = 256, n_px: int = 224,
-                 num_workers: int = 16, seed: int = 1):
+                 num_workers: int = 16, seed: int = 1,
+                 shuffle_drop_bsz: int = 0):
+        samples = list(samples)
+        if shuffle_drop_bsz:
+            rng = np.random.default_rng(seed)
+            order = rng.permutation(len(samples))
+            keep = max(1, len(samples) // shuffle_drop_bsz) \
+                * shuffle_drop_bsz
+            samples = [samples[i] for i in order[:keep]]
         super().__init__(samples, batch_size, n_px, num_workers)
         self.seed = seed
 

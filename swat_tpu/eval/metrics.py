@@ -33,9 +33,12 @@ def calculate_scores(confusion_matrix: np.ndarray) -> dict:
     num_class = cm.shape[0]
     scores: dict = {}
     scores["acc"] = float(np.trace(cm) / np.sum(cm))
-    row_sums = cm.sum(axis=1)
+    # a class with zero true samples divides 0/0 -> NaN, and the NaN
+    # propagates into avg_class_accuracy exactly like the reference
+    # (testing.py:149-150) — substituting 0.0 would silently report a
+    # finite average that counts the absent class as 0% accurate
     with np.errstate(divide="ignore", invalid="ignore"):
-        class_accuracy = np.where(row_sums > 0, np.diag(cm) / row_sums, 0.0)
+        class_accuracy = np.diag(cm) / cm.sum(axis=1)
     scores["avg_class_accuracy"] = float(class_accuracy.mean() * 100)
 
     recall, precision, f1 = {}, {}, {}

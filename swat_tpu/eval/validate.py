@@ -39,7 +39,8 @@ class Evaluator:
             return F.encode_image(model, params, images, normalize=True,
                                    mode="infer")
 
-        def eval_feats(head, logit_scale, feats, labels, source, mask):
+        def eval_feats(head, logit_scale, feats, labels, source, mask,
+                       carry):
             logits = head_logits(head, feats)
             preds = jnp.argmax(logits, axis=-1)
             max_logits = jnp.max(logits, axis=-1)
@@ -47,10 +48,17 @@ class Evaluator:
             scaled = logits * jnp.exp(logit_scale)
             per = _per_sample_loss(self.loss, scaled, labels, source)
             loss_sum = jnp.sum(per * mask)
-            return preds, max_logits, correct, loss_sum
+            nb = jnp.sum(mask)
+            # the running (correct, count, sum of batch-mean losses)
+            # accumulates INSIDE the jitted call: every eager scalar op
+            # here would be its own ~18 ms tunnel dispatch per batch
+            carry = (carry[0] + correct, carry[1] + nb,
+                     carry[2] + loss_sum / jnp.maximum(nb, 1))
+            return preds, max_logits, carry
 
         self._encode = jax.jit(encode)
         self._eval_feats = jax.jit(eval_feats)
+        self._mt_eval_cache: dict = {}
 
     def validate(self, params, head, logit_scale, loader, *,
                  pre_extracted: bool = False,
@@ -62,12 +70,11 @@ class Evaluator:
         pseudo-labeling (reference testing.py:466-480)."""
         cm = (np.zeros((self.num_classes, self.num_classes), np.int64)
               if return_confusion else None)
-        # accumulate scalars ON DEVICE: a host float()/int() per batch is
-        # one tunnel round trip (~18 ms) x hundreds of batches on large
-        # splits; the plain acc/loss path now syncs once at the end
-        dev_correct = jnp.int32(0)
-        dev_loss = jnp.float32(0)
-        dev_count = jnp.int32(0)
+        # one jitted call per batch; the (correct, count, loss) carry
+        # rides inside it, so the plain acc/loss path issues NO eager
+        # device ops and syncs once at the end (a host float()/int() per
+        # batch costs one ~18 ms tunnel round trip each)
+        carry = (jnp.int32(0), jnp.int32(0), jnp.float32(0))
         batches = 0
         predicted: list = []
         logit_scale = jnp.asarray(logit_scale, jnp.float32)
@@ -78,29 +85,25 @@ class Evaluator:
                 feats = batch["features"]
             else:
                 feats = self._encode(params, batch["images"])
-            mask = jnp.asarray(batch["mask"])
-            preds, max_logits, c, loss_sum = self._eval_feats(
+            preds, max_logits, carry = self._eval_feats(
                 head, logit_scale, feats, jnp.asarray(batch["labels"]),
-                jnp.asarray(batch["source"]), mask)
-            nb = jnp.sum(mask)
-            dev_correct = dev_correct + c
-            dev_count = dev_count + nb
-            dev_loss = dev_loss + loss_sum / jnp.maximum(nb, 1)
+                jnp.asarray(batch["source"]),
+                jnp.asarray(batch["mask"]), carry)
             batches += 1
             if cm is not None:
                 cm = confusion_matrix_update(
                     cm, np.asarray(preds), np.asarray(batch["labels"]),
                     np.asarray(batch["mask"]))
             if predict_labels_path:
-                m = np.asarray(mask)
+                m = np.asarray(batch["mask"])
                 predicted.extend(zip(np.asarray(preds)[m].tolist(),
                                      np.asarray(max_logits)[m].tolist()))
         if predict_labels_path:
             with open(predict_labels_path, "w") as f:
                 for pred, logit in predicted:
                     f.write(f"{pred} {logit}\n")
-        acc = int(dev_correct) / max(int(dev_count), 1) * 100.0
-        return acc, float(dev_loss) / max(batches, 1), cm
+        acc = int(carry[0]) / max(int(carry[1]), 1) * 100.0
+        return acc, float(carry[2]) / max(batches, 1), cm
 
 
 def validate_multitask(evaluator: Evaluator, params, cls_head, dataset_head,
@@ -114,32 +117,51 @@ def validate_multitask(evaluator: Evaluator, params, cls_head, dataset_head,
     num_classes = int(np.asarray(cls_head).shape[0])
     cm = np.zeros((num_classes, num_classes), np.int64)
     dcm = np.zeros((2, 2), np.int64)
-    correct = d_correct = count = 0
-    batch_losses = []
     logit_scale = jnp.asarray(logit_scale, jnp.float32)
+
+    # one jitted kernel per batch (both heads + per-sample loss fused);
+    # cached on the evaluator per loss object so repeated validation
+    # passes don't retrace
+    cache = evaluator.__dict__.setdefault("_mt_eval_cache", {})
+    run = cache.get(loss)
+    if run is None:
+        @jax.jit
+        def run(cls_head, dataset_head, logit_scale, feats, labels,
+                source, mask, carry):
+            logits = head_logits(cls_head, feats)
+            d_preds = jnp.argmax(head_logits(dataset_head, feats), axis=-1)
+            preds = jnp.argmax(logits, axis=-1)
+            per = _per_sample_loss(loss, logits * jnp.exp(logit_scale),
+                                   labels, source)
+            nb = jnp.sum(mask)
+            carry = (carry[0] + jnp.sum((preds == labels) & mask),
+                     carry[1] + jnp.sum((d_preds == source) & mask),
+                     carry[2] + nb,
+                     carry[3] + jnp.sum(per * mask) / jnp.maximum(nb, 1))
+            return preds, d_preds, carry
+
+        cache[loss] = run
+
+    carry = (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.float32(0))
+    batches = 0
+    cls_head = jnp.asarray(cls_head)
+    dataset_head = jnp.asarray(dataset_head)
     for batch in loader:
         feats = evaluator._encode(params, batch["images"])
+        preds, d_preds, carry = run(
+            cls_head, dataset_head, logit_scale, feats,
+            jnp.asarray(batch["labels"]), jnp.asarray(batch["source"]),
+            jnp.asarray(batch["mask"]), carry)
+        batches += 1
         mask = np.asarray(batch["mask"])
-        labels = np.asarray(batch["labels"])
-        source = np.asarray(batch["source"])
-        logits = np.asarray(head_logits(jnp.asarray(cls_head), feats))
-        d_logits = np.asarray(head_logits(jnp.asarray(dataset_head), feats))
-        preds = logits.argmax(axis=-1)
-        d_preds = d_logits.argmax(axis=-1)
-        n = int(mask.sum())
-        correct += int(((preds == labels) & mask).sum())
-        d_correct += int(((d_preds == source) & mask).sum())
-        count += n
-        scaled = jnp.asarray(logits) * jnp.exp(logit_scale)
-        per = np.asarray(_per_sample_loss(loss, scaled,
-                                          jnp.asarray(labels),
-                                          jnp.asarray(source)))
-        batch_losses.append(float((per * mask).sum()) / max(n, 1))
-        cm = confusion_matrix_update(cm, preds, labels, mask)
-        dcm = confusion_matrix_update(dcm, d_preds, source, mask)
-    acc = correct / max(count, 1) * 100.0
-    d_acc = d_correct / max(count, 1) * 100.0
-    return acc, float(np.mean(batch_losses)), cm, d_acc, dcm
+        cm = confusion_matrix_update(cm, np.asarray(preds),
+                                     np.asarray(batch["labels"]), mask)
+        dcm = confusion_matrix_update(dcm, np.asarray(d_preds),
+                                      np.asarray(batch["source"]), mask)
+    count = max(int(carry[2]), 1)
+    acc = int(carry[0]) / count * 100.0
+    d_acc = int(carry[1]) / count * 100.0
+    return acc, float(carry[3]) / max(batches, 1), cm, d_acc, dcm
 
 
 def _per_sample_loss(loss: LossFn, logits, labels, source):

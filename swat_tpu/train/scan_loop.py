@@ -283,20 +283,11 @@ class ResidentEval:
         else:
             import concurrent.futures as cf
 
-            from swat_tpu.data.transforms import load_image
-            from PIL import Image
+            from swat_tpu.data.transforms import eval_crop, load_image
 
             def load(s: Sample):
-                img = load_image(s.path)
-                w, h = img.size
-                if w < h:  # torchvision truncates the long side
-                    nw, nh = n_px, max(n_px, int(h * n_px / w))
-                else:
-                    nw, nh = max(n_px, int(w * n_px / h)), n_px
-                img = img.resize((nw, nh), Image.BICUBIC)
-                left, top = (nw - n_px) // 2, (nh - n_px) // 2
-                img = img.crop((left, top, left + n_px, top + n_px))
-                return np.asarray(img, np.uint8)
+                return np.asarray(eval_crop(load_image(s.path), n_px),
+                                  np.uint8)
 
             with cf.ThreadPoolExecutor(num_workers) as pool:
                 images = list(pool.map(load, samples))

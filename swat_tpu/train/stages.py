@@ -892,14 +892,17 @@ class SwatPipeline:
         # few-shot train features — extracted with the *train* transform
         # (one random-crop/flip snapshot per image) exactly like the
         # reference's extract_train_dataloader (main.py:413-415,
-        # utils/dataloader.py:278-287)
+        # utils/dataloader.py:278-287), including its shuffle=True,
+        # drop_last=True bsz-128 extraction that discards up to 127
+        # random samples from the probing train set
         _fs_smp = self._samples(cfg.fewshot_data)
         train_feats = self._cached_extract(
             cfg, params, "fsprobe_trainaug",
             lambda: TrainSnapshotLoader(_fs_smp, 128,
                                         self.model_cfg.vision.image_size,
                                         cfg.num_workers,
-                                        seed=cfg.training_seed),
+                                        seed=cfg.training_seed,
+                                        shuffle_drop_bsz=128),
             samples=_fs_smp)
         _t_smp = self._samples(cfg.test_split)
         test_feats = self._cached_extract(

@@ -267,3 +267,80 @@ def test_make_prompts_semi_aves_name_types():
     assert c["0"] == ["a photo of a common blackbird, a type of bird."]
     f = make_prompts(metrics, "semi-aves", "f-name")
     assert f["0"] == ["a photo of a blackbird, a type of bird."]
+
+
+# ---------------------------------------------------------------------------
+# transform parity regressions (torchvision semantics, hand-derived —
+# torchvision is not installed in this image)
+
+
+def test_rrc_fallback_is_ratio_clamped_center_crop():
+    """A 3:2 image fails all 10 RandomResizedCrop attempts with
+    scale=(0.9,1.0) (max feasible area (4/3)h^2 < 0.9*1.5h^2), so
+    torchvision's get_params falls back to the ratio-clamped CENTER crop
+    — not the whole stretched image (reference utils/extras.py:69-71)."""
+    from PIL import Image
+
+    from swat_tpu.data.transforms import host_train_preprocess
+
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 256, (60, 90, 3)).astype(np.uint8)
+    img = Image.fromarray(arr)
+    got = host_train_preprocess(img, np.random.default_rng(7), n_px=32)
+
+    # replicate the function's rng consumption exactly: 10 failed
+    # attempts (2 draws each), then the flip draw
+    r = np.random.default_rng(7)
+    for _ in range(10):
+        r.uniform(0.9, 1.0)
+        r.uniform(np.log(3 / 4), np.log(4 / 3))
+    # expected box: in_ratio 1.5 > 4/3 -> ch=60, cw=round(60*4/3)=80,
+    # centered: j=(90-80)//2=5, i=0
+    exp = img.crop((5, 0, 85, 60)).resize((32, 32), Image.BICUBIC)
+    if r.random() < 0.5:
+        exp = exp.transpose(Image.FLIP_LEFT_RIGHT)
+    from swat_tpu.kernels.augment import CLIP_MEAN, CLIP_STD
+
+    x = np.asarray(exp.convert("RGB"), np.float32) / 255.0
+    x = (x - np.asarray(CLIP_MEAN, np.float32)) / np.asarray(
+        CLIP_STD, np.float32)
+    np.testing.assert_allclose(got, x, atol=1e-6)
+
+
+def test_center_crop_rounds_like_torchvision():
+    """torchvision F.center_crop uses int(round(d/2.0)) (round-half-even)
+    for the crop offset; floor-divide shifts d%4==3 crops by one pixel."""
+    from PIL import Image
+
+    from swat_tpu.data.transforms import eval_crop
+
+    # w=32, h=35: short side already 32 -> nh=int(35*32/32)=35, d=3 ->
+    # torchvision top=round(1.5)=2 (half-even), floor would give 1
+    rng = np.random.default_rng(1)
+    arr = rng.integers(0, 256, (35, 32, 3)).astype(np.uint8)
+    img = Image.fromarray(arr)
+    got = np.asarray(eval_crop(img, 32))
+    exp = np.asarray(img.crop((0, 2, 32, 34)))
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_palette_image_converts_after_resize():
+    """The reference converts to RGB AFTER the geometric transforms
+    (_convert_image_to_rgb placement, utils/extras.py:75,84), so palette
+    images resample in P mode (PIL silently uses NEAREST) and only then
+    convert — convert-first would bicubic-interpolate instead."""
+    from PIL import Image
+
+    from swat_tpu.data.transforms import eval_crop
+
+    rng = np.random.default_rng(2)
+    arr = rng.integers(0, 256, (48, 48, 3)).astype(np.uint8)
+    pimg = Image.fromarray(arr).convert("P", palette=Image.ADAPTIVE)
+
+    got = np.asarray(eval_crop(pimg, 32))
+    exp = np.asarray(
+        pimg.resize((32, 32), Image.BICUBIC).convert("RGB"))
+    np.testing.assert_array_equal(got, exp)
+    convert_first = np.asarray(
+        pimg.convert("RGB").resize((32, 32), Image.BICUBIC))
+    assert np.abs(got.astype(int) - convert_first.astype(int)).max() > 0
