@@ -169,6 +169,17 @@ def _rand_bbox(key, height: int, width: int, lam):
     return y1, y2, x1, x2
 
 
+def _safe_beta(key, beta: float):
+    """beta<=0 disables mixing in the reference (train_cutmix's
+    `args.cutmix_beta > 0` gate, mixup_data's `if alpha > 0: ... else:
+    lam = 1`): return lam=1 so the box is empty / the blend is identity.
+    jax.random.beta(key, 0, 0) would produce NaN-derived garbage boxes
+    that still paste with probability mix_prob."""
+    if beta <= 0:
+        return jnp.float32(1.0)
+    return jax.random.beta(key, beta, beta)
+
+
 def _box_mask(height: int, width: int, y1, y2, x1, x2):
     rows = jnp.arange(height)[:, None]
     cols = jnp.arange(width)[None, :]
@@ -184,7 +195,7 @@ def cutmix(images, labels, key, beta: float = 1.0, mix_prob: float = 0.5):
     b, h, w, _ = images.shape
     k_gate, k_lam, k_perm, k_box = jax.random.split(key, 4)
     gate = jax.random.uniform(k_gate) < mix_prob
-    lam0 = jax.random.beta(k_lam, beta, beta)
+    lam0 = _safe_beta(k_lam, beta)
     perm = jax.random.permutation(k_perm, b)
     y1, y2, x1, x2 = _rand_bbox(k_box, h, w, lam0)
     mask = _box_mask(h, w, y1, y2, x1, x2)[None, :, :, None]
@@ -202,7 +213,7 @@ def cutmix_from(images, labels, images2, labels2, key,
     b, h, w, _ = images.shape
     k_gate, k_lam, k_box = jax.random.split(key, 3)
     gate = jax.random.uniform(k_gate) < mix_prob
-    lam0 = jax.random.beta(k_lam, beta, beta)
+    lam0 = _safe_beta(k_lam, beta)
     y1, y2, x1, x2 = _rand_bbox(k_box, h, w, lam0)
     mask = _box_mask(h, w, y1, y2, x1, x2)[None, :, :, None]
     mixed = jnp.where(mask & gate, images2, images)
@@ -216,7 +227,7 @@ def mixup(images, labels, key, alpha: float = 1.0, mix_prob: float = 0.5):
     """Reference mixup_data (utils/training.py:1113-1134)."""
     b = images.shape[0]
     k_gate, k_lam, k_perm = jax.random.split(key, 3)
-    lam = jax.random.beta(k_lam, alpha, alpha)
+    lam = _safe_beta(k_lam, alpha)
     lam = jnp.where(jax.random.uniform(k_gate) <= mix_prob, lam, 1.0)
     perm = jax.random.permutation(k_perm, b)
     mixed = lam * images + (1.0 - lam) * images[perm]
@@ -257,12 +268,16 @@ def resizemix(images, labels, key, mix_prob: float = 0.5,
     scale_x = rw.astype(jnp.float32) / w
 
     def paint(img):
+        # antialias=False: the reference F.interpolate(mode='bilinear')
+        # never low-pass filters on downscale (and tau in [0.1,0.8]
+        # always downscales) — the scale_and_translate default would
+        # systematically smooth every pasted patch
         return jax.image.scale_and_translate(
             img, shape=img.shape, spatial_dims=(0, 1),
             scale=jnp.stack([scale_y, scale_x]),
             translation=jnp.stack([pos_y.astype(jnp.float32),
                                    pos_x.astype(jnp.float32)]),
-            method="linear")
+            method="linear", antialias=False)
 
     pasted = jax.vmap(paint)(shuffled)
     mask = _box_mask(h, w, pos_y, pos_y + rh, pos_x, pos_x + rw)[None, :, :, None]
@@ -297,7 +312,7 @@ def saliencymix(images, labels, key, beta: float = 1.0,
     b, h, w, _ = images.shape
     k_gate, k_lam, k_perm = jax.random.split(key, 3)
     gate = jax.random.uniform(k_gate) < mix_prob
-    lam0 = jax.random.beta(k_lam, beta, beta)
+    lam0 = _safe_beta(k_lam, beta)
     perm = jax.random.permutation(k_perm, b)
     shuffled = images[perm]
 
@@ -336,14 +351,17 @@ def attentivemix(images, labels, heatmaps, key, beta: float = 1.0,
     b, h, w, _ = images.shape
     k_gate, k_lam, k_perm = jax.random.split(key, 3)
     gate = jax.random.uniform(k_gate) < mix_prob
-    lam0 = jax.random.beta(k_lam, beta, beta)
+    lam0 = _safe_beta(k_lam, beta)
     perm = jax.random.permutation(k_perm, b)
     shuffled = images[perm]
     hm = heatmaps[perm]
     hh, hw = hm.shape[1], hm.shape[2]
     flat_idx = jnp.argmax(hm.reshape(b, -1), axis=-1)
-    peak_y = (flat_idx // hw) * (h // hh)
-    peak_x = (flat_idx % hw) * (w // hw)
+    # center of the peak CELL, not its top-left corner: the reference's
+    # full-resolution GEM argmax centers the box on the attended region;
+    # corner mapping would bias every box up-left by half a cell
+    peak_y = (flat_idx // hw) * (h // hh) + (h // hh) // 2
+    peak_x = (flat_idx % hw) * (w // hw) + (w // hw) // 2
 
     cut_rat = jnp.sqrt(1.0 - lam0)
     cut_h = (h * cut_rat).astype(jnp.int32)

@@ -130,34 +130,79 @@ def torch_state_dict_to_params(sd: Mapping[str, Any],
     return params, logit_scale
 
 
+def _rn50_visual_to_torch(vis: Mapping[str, Any],
+                          out: dict) -> None:
+    """Inverse of torch_rn50_visual_to_params."""
+    def put_conv(flax_conv, key):
+        out[key] = np.asarray(
+            flax_conv["conv"]["kernel"], np.float32).transpose(3, 2, 0, 1)
+
+    def put_bn(flax_bn, prefix):
+        out[f"{prefix}.weight"] = np.asarray(flax_bn["scale"])
+        out[f"{prefix}.bias"] = np.asarray(flax_bn["bias"])
+        out[f"{prefix}.running_mean"] = np.asarray(flax_bn["mean"])
+        out[f"{prefix}.running_var"] = np.asarray(flax_bn["var"])
+
+    for i in (1, 2, 3):
+        put_conv(vis[f"conv{i}"], f"visual.conv{i}.weight")
+        put_bn(vis[f"bn{i}"], f"visual.bn{i}")
+    for name, blk in vis.items():
+        if not name.startswith("layer"):
+            continue
+        stage_block = name[len("layer"):]         # e.g. "2_0"
+        stage, idx = stage_block.split("_")
+        pre = f"visual.layer{stage}.{idx}"
+        for j in (1, 2, 3):
+            put_conv(blk[f"conv{j}"], f"{pre}.conv{j}.weight")
+            put_bn(blk[f"bn{j}"], f"{pre}.bn{j}")
+        if "down_conv" in blk:
+            put_conv(blk["down_conv"], f"{pre}.downsample.0.weight")
+            put_bn(blk["down_bn"], f"{pre}.downsample.1")
+    ap = vis["attnpool"]
+    out["visual.attnpool.positional_embedding"] = np.asarray(
+        ap["positional_embedding"])
+    for name in ("q_proj", "k_proj", "v_proj", "c_proj"):
+        out[f"visual.attnpool.{name}.weight"] = np.asarray(
+            ap[name]["kernel"]).T
+        out[f"visual.attnpool.{name}.bias"] = np.asarray(ap[name]["bias"])
+
+
 def params_to_torch_state_dict(params: Mapping[str, Any],
                                logit_scale: float) -> dict:
-    """Inverse of `torch_state_dict_to_params` (numpy arrays as values)."""
+    """Inverse of `torch_state_dict_to_params` (numpy arrays as values),
+    for both ViT and ModifiedResNet visual towers."""
     out: dict[str, np.ndarray] = {}
     vis, txt = params["visual"], params["text"]
 
-    k = np.asarray(vis["patch_embed"]["kernel"], dtype=np.float32)
-    ppc, w = k.shape
-    side = int(round((ppc // 3) ** 0.5))
-    out["visual.conv1.weight"] = (
-        k.reshape(side, side, 3, w).transpose(3, 2, 0, 1))
-    out["visual.class_embedding"] = np.asarray(vis["class_embedding"])
-    out["visual.positional_embedding"] = np.asarray(vis["positional_embedding"])
-    out["visual.proj"] = np.asarray(vis["proj"])
     out["token_embedding.weight"] = np.asarray(txt["token_embedding"])
     out["positional_embedding"] = np.asarray(txt["positional_embedding"])
     out["text_projection"] = np.asarray(txt["text_projection"])
     out["logit_scale"] = np.asarray(logit_scale, dtype=np.float32)
 
-    for flax_ln, torch_ln in [
-        (vis["ln_pre"], "visual.ln_pre"), (vis["ln_post"], "visual.ln_post"),
-        (txt["ln_final"], "ln_final"),
-    ]:
+    vis_lns = []
+    if "patch_embed" in vis:   # ViT tower
+        k = np.asarray(vis["patch_embed"]["kernel"], dtype=np.float32)
+        ppc, w = k.shape
+        side = int(round((ppc // 3) ** 0.5))
+        out["visual.conv1.weight"] = (
+            k.reshape(side, side, 3, w).transpose(3, 2, 0, 1))
+        out["visual.class_embedding"] = np.asarray(vis["class_embedding"])
+        out["visual.positional_embedding"] = np.asarray(
+            vis["positional_embedding"])
+        out["visual.proj"] = np.asarray(vis["proj"])
+        vis_lns = [(vis["ln_pre"], "visual.ln_pre"),
+                   (vis["ln_post"], "visual.ln_post")]
+        vis_blocks = [(vis["transformer"]["blocks"],
+                       "visual.transformer.resblocks.")]
+    else:                      # ModifiedResNet tower
+        _rn50_visual_to_torch(vis, out)
+        vis_blocks = []
+
+    for flax_ln, torch_ln in vis_lns + [(txt["ln_final"], "ln_final")]:
         out[f"{torch_ln}.weight"] = np.asarray(flax_ln["ln"]["scale"])
         out[f"{torch_ln}.bias"] = np.asarray(flax_ln["ln"]["bias"])
 
-    for blocks, prefix in [
-        (vis["transformer"]["blocks"], "visual.transformer.resblocks."),
+    for blocks, prefix in vis_blocks + [
         (txt["transformer"]["blocks"], "transformer.resblocks."),
     ]:
         n = np.asarray(blocks["ln_1"]["ln"]["scale"]).shape[0]

@@ -151,8 +151,11 @@ class AttentionPool2d(nn.Module):
     precision: Precision = DEFAULT_PRECISION
 
     @nn.compact
-    def __call__(self, x):
-        """x: [B, H, W, C] -> [B, output_dim]."""
+    def __call__(self, x, tokens_out: bool = False):
+        """x: [B, H, W, C] -> [B, output_dim]; with ``tokens_out`` the
+        per-position value embeddings projected into the joint space
+        [B, H*W+1, output_dim] (mean token first) — the GEM-style token
+        surface attentivemix heatmaps read (eval/heatmap.py)."""
         p = self.precision
         b, h, w, c = x.shape
         tokens = x.reshape(b, h * w, c)
@@ -169,6 +172,8 @@ class AttentionPool2d(nn.Module):
         q = dense(c, "q_proj")(tokens[:, :1])
         k = dense(c, "k_proj")(tokens)
         v = dense(c, "v_proj")(tokens)
+        if tokens_out:
+            return dense(self.output_dim, "c_proj")(v).astype(jnp.float32)
         hd = c // self.heads
 
         def heads_first(t, s):
@@ -220,4 +225,4 @@ class ModifiedResNet(nn.Module):
             planes *= 2
 
         return AttentionPool2d(cfg.width * 32, cfg.embed_dim, cfg.heads,
-                               p, name="attnpool")(x)
+                               p, name="attnpool")(x, tokens_out=not pool)

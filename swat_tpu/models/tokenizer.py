@@ -54,7 +54,15 @@ def _get_pairs(word):
     return pairs
 
 
+try:                      # CLIP's basic_clean runs ftfy.fix_text first
+    import ftfy as _ftfy  # (simple_tokenizer.py); not baked into this
+except ImportError:       # image — mojibake inputs tokenize unrepaired
+    _ftfy = None          # without it (rare for the benchmark metrics)
+
+
 def _basic_clean(text: str) -> str:
+    if _ftfy is not None:
+        text = _ftfy.fix_text(text)
     text = html.unescape(html.unescape(text))
     return text.strip()
 
@@ -221,14 +229,16 @@ def get_tokenizer(bpe_path: str | None = None):
     """Best available tokenizer for the given asset path:
     * file (``bpe_simple_vocab_16e6.txt[.gz]``) -> SimpleTokenizer
     * directory with HF vocab.json/merges.txt   -> HFTokenizerAdapter
-    * nothing                                   -> HashTokenizer (tests)
-    """
+    * NO path given anywhere                    -> HashTokenizer (tests)
+
+    An EXPLICIT path (argument or SWAT_BPE_PATH) that cannot be loaded
+    raises — silently substituting the hash tokenizer would build prompt
+    embeddings and the text-initialized head from meaningless tokens
+    while training proceeds to near-random accuracy (open_clip fails
+    loudly here too)."""
     if bpe_path and os.path.isdir(bpe_path):
-        try:
-            return HFTokenizerAdapter(bpe_path)
-        except Exception:
-            pass
-    try:
-        return SimpleTokenizer(bpe_path)
-    except FileNotFoundError:
-        return HashTokenizer()
+        return HFTokenizerAdapter(bpe_path)
+    explicit = bpe_path or os.environ.get("SWAT_BPE_PATH")
+    if explicit:
+        return SimpleTokenizer(explicit)
+    return HashTokenizer()

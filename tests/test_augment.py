@@ -123,3 +123,20 @@ def test_rrc_fallback_clamps_aspect(rng):
     assert int(cw) == 64
     assert int(ch) == round(64 / (3 / 4))
     assert int(i) == (256 - int(ch)) // 2
+
+
+def test_beta_zero_disables_mixing(rng):
+    """beta<=0 means 'never mix' in the reference (train_cutmix's
+    cutmix_beta>0 gate, mixup_data's alpha>0 branch); jax.random.beta
+    with (0,0) would emit NaN-derived garbage boxes."""
+    import jax
+
+    from swat_tpu.kernels import augment as aug
+
+    imgs = jnp.asarray(rng.normal(size=(4, 16, 16, 3)), jnp.float32)
+    labels = jnp.arange(4)
+    for fn in (aug.cutmix, aug.mixup):
+        mixed, y_a, y_b, lam = fn(imgs, labels, jax.random.PRNGKey(0),
+                                  0.0, 1.0)
+        np.testing.assert_array_equal(np.asarray(mixed), np.asarray(imgs))
+        assert float(lam) == 1.0

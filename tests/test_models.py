@@ -246,3 +246,20 @@ def test_convert_cli_synthetic(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(params),
                     jax.tree_util.tree_leaves(direct)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_get_tokenizer_strict_on_explicit_path(tmp_path, monkeypatch):
+    """An explicit (but unusable) BPE path raises loudly instead of
+    silently substituting the hash tokenizer — which would build prompt
+    embeddings from meaningless tokens while training proceeds."""
+    import pytest as _pytest
+
+    from swat_tpu.models.tokenizer import HashTokenizer, get_tokenizer
+
+    monkeypatch.delenv("SWAT_BPE_PATH", raising=False)
+    assert isinstance(get_tokenizer(None), HashTokenizer)
+    with _pytest.raises(FileNotFoundError):
+        get_tokenizer(str(tmp_path / "missing_vocab.txt.gz"))
+    monkeypatch.setenv("SWAT_BPE_PATH", str(tmp_path / "nope.txt.gz"))
+    with _pytest.raises(FileNotFoundError):
+        get_tokenizer(None)

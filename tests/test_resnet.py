@@ -221,3 +221,38 @@ def test_rn50_finetune_step_updates_running_stats(rng):
     # batch stats, bounded by the old value and the batch value
     assert float(np.max(np.abs(np.asarray(bn1_a["mean"])
                                - bn1_b["mean"]))) < 1.0
+
+
+def test_rn50_state_dict_round_trip(rng):
+    """params_to_torch_state_dict is a true inverse for RN50 trees (it
+    used to crash on them with KeyError: 'patch_embed')."""
+    from swat_tpu.models.loader import params_to_torch_state_dict
+
+    sd = _rn50_sd(rng)
+    params, ls = torch_state_dict_to_params(sd, vision_layers=4,
+                                            text_layers=12)
+    back = params_to_torch_state_dict(params, ls)
+    assert set(back) == set(sd)
+    for k in sd:
+        np.testing.assert_allclose(back[k], sd[k], rtol=0, atol=0,
+                                   err_msg=k)
+
+
+def test_rn50_token_embeddings_and_heatmap(rng):
+    """RN50 encode_image_tokens returns joint-space per-position tokens
+    (mean token first) so attentivemix heatmaps work for RN50 too (it
+    used to fail at trace time: ModifiedResNet ignored pool)."""
+    from swat_tpu.eval.heatmap import clip_attention_heatmap
+
+    sd = _rn50_sd(rng)
+    params, _ = torch_state_dict_to_params(sd, vision_layers=4,
+                                           text_layers=12)
+    cfg = get_model_config("rn50_clip")
+    model = CLIPModel(cfg, precision=FP32_PRECISION)
+    images = jnp.asarray(rng.normal(size=(2, 224, 224, 3)), jnp.float32)
+    tokens = model.apply({"params": params}, images,
+                         method=CLIPModel.encode_image_tokens)
+    assert tokens.shape == (2, 7 * 7 + 1, 1024)
+    hm = clip_attention_heatmap(model, params, images)
+    assert hm.shape == (2, 7, 7)
+    assert np.isfinite(np.asarray(hm)).all()
