@@ -323,13 +323,18 @@ def cmd_sample(args):
     # device dispatches); per-class is the reference-shaped oracle loop
     sampler = (sample_retrieved_fused if args.engine == "fused"
                else sample_retrieved)
+    extra = {}
+    if args.engine == "fused":
+        extra = {"approx": (args.rank_mode if args.rank_mode == "auto"
+                            else args.rank_mode == "approx"),
+                 "rank_chunk": args.rank_chunk}
     res = sampler(
         pool, prompts, strategy=args.strategy,
         num_samples=args.num_samples, threshold=args.threshold,
         t2i_threshold=args.t2i_threshold,
         fewshot_feats_by_class=fewshot_by_class,
         remove_duplicates=args.remove_duplicates,
-        zeroshot_filter_head=zs_head, seed=args.seed)
+        zeroshot_filter_head=zs_head, seed=args.seed, **extra)
     total = len(res["file_list"])
     print(f"Sampled {total} images "
           f"({args.strategy}) in {time.time() - t0:.1f}s")
@@ -452,6 +457,14 @@ def main(argv=None):
                          "(image_features + labels) for the I2I/I2T "
                          "strategies and gates (reference "
                          "get_fewshot_features)")
+    sp.add_argument("--rank_mode", choices=("exact", "approx", "auto"),
+                    default="auto",
+                    help="fused-engine top-k: exact sort, approx_max_k "
+                         "shortlist + exact re-rank, or auto by pool size")
+    sp.add_argument("--rank_chunk", type=int, default=None,
+                    help="stream candidates through the ranking matmul in "
+                         "chunks of this many rows (auto-engages at "
+                         "LAION-scale pools)")
     sp.add_argument("--remove_duplicates", action="store_true")
     sp.add_argument("--zeroshot_filter", action="store_true")
     sp.add_argument("--relative_to", default=None)

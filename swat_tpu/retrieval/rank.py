@@ -128,6 +128,31 @@ def rowwise_p2p_scores(embeddings: np.ndarray,
             else np.empty(0, np.float32)).astype(np.float32)
 
 
+def _masked_sims(prompts, cands, cls_ids, num_classes):
+    sims = jnp.einsum("cd,nd->cn", prompts, cands, precision="highest",
+                      preferred_element_type=jnp.float32)
+    mask = cls_ids[None, :] == jnp.arange(num_classes)[:, None]
+    return jnp.where(mask, sims, -jnp.inf)
+
+
+def _select_top(sims, top_k: int, approx: bool):
+    """Exact-ordered top-k rows of a [C, n] similarity matrix.  The approx
+    path is a TPU-native `approx_max_k` SHORTLIST (2x oversampled, partial
+    reduce, no full per-row sort) followed by an exact re-rank of the
+    shortlist — `approx_max_k` alone neither sorts its output nor
+    guarantees recall, and the sampler reads result order (its per-class
+    score cutoff is the last kept entry)."""
+    n = sims.shape[1]
+    if approx and n >= 2 * top_k:
+        short_sim, short_idx = jax.lax.approx_max_k(
+            sims, min(2 * top_k, n), recall_target=0.99)
+        top_sim, pos = jax.lax.top_k(short_sim, top_k)
+        top_idx = jnp.take_along_axis(short_idx, pos, axis=1)
+    else:
+        top_sim, top_idx = jax.lax.top_k(sims, top_k)
+    return top_sim, jnp.where(jnp.isfinite(top_sim), top_idx, -1)
+
+
 @functools.lru_cache(maxsize=16)
 def _rank_fn(num_classes: int, top_k: int, approx: bool):
     """Compiled once per (C, k, mode) — a fresh jit closure per call would
@@ -135,21 +160,38 @@ def _rank_fn(num_classes: int, top_k: int, approx: bool):
 
     @jax.jit
     def run(prompts, cands, cls_ids):
-        sims = jnp.einsum("cd,nd->cn", prompts, cands, precision="highest",
-                          preferred_element_type=jnp.float32)
-        mask = cls_ids[None, :] == jnp.arange(num_classes)[:, None]
-        sims = jnp.where(mask, sims, -jnp.inf)
-        if approx:
-            # TPU-native approximate top-k (partial reduce, no full sort);
-            # recall_target 0.99 of the true top-k
-            top_sim, top_idx = jax.lax.approx_max_k(
-                sims, top_k, recall_target=0.99)
-        else:
-            top_sim, top_idx = jax.lax.top_k(sims, top_k)
-        top_idx = jnp.where(jnp.isfinite(top_sim), top_idx, -1)
+        sims = _masked_sims(prompts, cands, cls_ids, num_classes)
+        top_sim, top_idx = _select_top(sims, top_k, approx)
         return top_idx, top_sim
 
     return run
+
+
+@functools.lru_cache(maxsize=16)
+def _chunk_rank_fn(num_classes: int, top_k: int, approx: bool):
+    """One streaming-merge step: rank a candidate chunk, fold its
+    shortlist into the running per-class top-k carry (exact merge)."""
+
+    @jax.jit
+    def step(prompts, cands, cls_ids, base, carry_sim, carry_idx):
+        sims = _masked_sims(prompts, cands, cls_ids, num_classes)
+        k_eff = min(top_k, sims.shape[1])
+        s, i = _select_top(sims, k_eff, approx)
+        gi = jnp.where(i >= 0, base + i, -1)
+        all_sim = jnp.concatenate([carry_sim, s], axis=1)
+        all_idx = jnp.concatenate([carry_idx, gi], axis=1)
+        m_sim, pos = jax.lax.top_k(all_sim, top_k)
+        m_idx = jnp.take_along_axis(all_idx, pos, axis=1)
+        return m_sim, jnp.where(jnp.isfinite(m_sim), m_idx, -1)
+
+    return step
+
+
+# Dense [C, N] similarity matrices beyond this many elements (1 GiB f32)
+# switch to the chunked streaming merge; pools beyond this many candidates
+# switch 'auto' to the approx shortlist path.
+MAX_DENSE_ELEMS = 256 * 1024 * 1024
+APPROX_AUTO_N = 4_000_000
 
 
 def rank_candidates(prompt_matrix: np.ndarray,
@@ -157,18 +199,40 @@ def rank_candidates(prompt_matrix: np.ndarray,
                     candidate_class: np.ndarray,
                     top_k: int,
                     mesh=None,
-                    approx: bool = False) -> Tuple[np.ndarray, np.ndarray]:
+                    approx=False,
+                    chunk: Optional[int] = None
+                    ) -> Tuple[np.ndarray, np.ndarray]:
     """One fused pass over ALL classes' candidates.
 
     prompt_matrix:       [C, D]  (per-class mean prompt embeddings)
     candidate_embeddings:[N, D]  (caption or image embeddings)
     candidate_class:     [N]     class id per candidate
-    approx=True uses lax.approx_max_k (TPU-optimized; 0.99 recall) for
-    corpus-scale pools where a full per-row sort dominates.
+    approx: False (exact), True (TPU `approx_max_k` 2x shortlist + exact
+    re-rank — exact result ORDER, >=0.99 recall), or "auto" (approx once
+    the pool exceeds APPROX_AUTO_N candidates — the corpus-scale regime
+    where a full per-row sort dominates).
+    chunk: stream candidates through a running per-class top-k merge in
+    chunks of this many rows, bounding device memory at [C, chunk]
+    instead of [C, N]; auto-engages when C*N exceeds MAX_DENSE_ELEMS
+    (LAION-scale pools). Exact chunking == dense exact; the merge is
+    always exact, so chunked-approx is an exactly re-ranked union of
+    per-chunk shortlists.
     Returns (top_idx [C, top_k] indices into N, top_sim [C, top_k]);
     entries beyond a class's candidate count hold -1 / -inf.
     """
     C = prompt_matrix.shape[0]
+    N = candidate_embeddings.shape[0]
+    if approx == "auto":
+        approx = N > APPROX_AUTO_N
+    if chunk is None and C * N > MAX_DENSE_ELEMS:
+        chunk = max(top_k, (MAX_DENSE_ELEMS // max(C, 1)) // 1024 * 1024
+                    or 1024)
+    if chunk is not None:
+        return _rank_candidates_chunked(prompt_matrix,
+                                        candidate_embeddings,
+                                        candidate_class, top_k,
+                                        approx=bool(approx),
+                                        chunk=int(chunk))
     run = _rank_fn(C, top_k, approx)
 
     if mesh is not None:
@@ -186,6 +250,32 @@ def rank_candidates(prompt_matrix: np.ndarray,
                            jnp.asarray(candidate_embeddings, jnp.float32),
                            jnp.asarray(candidate_class, jnp.int32))
     return np.asarray(top_idx), np.asarray(top_sim)
+
+
+def _rank_candidates_chunked(prompt_matrix, candidate_embeddings,
+                             candidate_class, top_k: int, *,
+                             approx: bool, chunk: int):
+    """Streaming per-class top-k: fold fixed-shape candidate chunks into a
+    running [C, top_k] carry (one compile for every chunk; the short last
+    chunk is padded with class -1 rows, which never match the mask)."""
+    C, D = prompt_matrix.shape
+    N = candidate_embeddings.shape[0]
+    prompts = jnp.asarray(prompt_matrix, jnp.float32)
+    step = _chunk_rank_fn(C, top_k, approx)
+    carry_sim = jnp.full((C, top_k), -jnp.inf, jnp.float32)
+    carry_idx = jnp.full((C, top_k), -1, jnp.int32)
+    for b in range(0, N, chunk):
+        cands = np.asarray(candidate_embeddings[b: b + chunk], np.float32)
+        cls = np.asarray(candidate_class[b: b + chunk], np.int32)
+        if cands.shape[0] < chunk:
+            pad = chunk - cands.shape[0]
+            cands = np.concatenate(
+                [cands, np.zeros((pad, D), np.float32)])
+            cls = np.concatenate([cls, np.full(pad, -1, np.int32)])
+        carry_sim, carry_idx = step(prompts, jnp.asarray(cands),
+                                    jnp.asarray(cls), jnp.int32(b),
+                                    carry_sim, carry_idx)
+    return np.asarray(carry_idx), np.asarray(carry_sim)
 
 
 @functools.lru_cache(maxsize=8)

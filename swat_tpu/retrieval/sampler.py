@@ -270,11 +270,13 @@ def _rowwise_scores(X, W, labels, chunk: int = 1 << 18) -> np.ndarray:
                           preferred_element_type=jnp.float32)
 
     w = jnp.asarray(W, jnp.float32)
-    X = jnp.asarray(X, jnp.float32)
     labels = jnp.asarray(labels)
     out = []
+    # host X stays host-resident: each chunk uploads on its own (the
+    # corpus-scale streaming mode); device X slices stay on device
     for i in range(0, X.shape[0], chunk):
-        out.append(np.asarray(run(X[i:i + chunk], w, labels[i:i + chunk])))
+        out.append(np.asarray(run(jnp.asarray(X[i:i + chunk], jnp.float32),
+                                  w, labels[i:i + chunk])))
     return (np.concatenate(out) if out
             else np.empty(0, np.float32)).astype(np.float32)
 
@@ -291,7 +293,8 @@ def sample_retrieved_fused(
     zeroshot_filter_head: Optional[np.ndarray] = None,
     seed: int = 0,
     mesh=None,
-    approx: bool = False,
+    approx=False,
+    rank_chunk: Optional[int] = None,
 ) -> Dict[str, list]:
     """Fused production sampler: ONE class-masked [C, N] matmul + top-k
     selects every class's kept candidates in O(1) device dispatches
@@ -326,8 +329,10 @@ def sample_retrieved_fused(
                                      fewshot_feats_by_class)
         # ONE host->device transfer per matrix, reused by the score pass
         # and the ranking matmul (a tunneled TPU pays ~seconds/GB per
-        # upload)
-        X = jnp.asarray(X, jnp.float32)
+        # upload). With rank_chunk set (corpus-scale pools that don't
+        # fit HBM) X stays host-side and both passes stream it.
+        if rank_chunk is None:
+            X = jnp.asarray(X, jnp.float32)
         score = _rowwise_scores(X, W, dev_labels)
 
     t2i = None
@@ -396,7 +401,8 @@ def sample_retrieved_fused(
     # the fused selection: class-masked matmul + top-k on device
     cls_for_rank = np.where(keep, labels, -1).astype(np.int32)
     top_by_class, _ = R.rank_candidates(W, X, cls_for_rank, num_samples,
-                                        mesh=mesh, approx=approx)
+                                        mesh=mesh, approx=approx,
+                                        chunk=rank_chunk)
     cutoff = np.full(C, -np.inf, np.float32)
 
     for cls in pool.classes():

@@ -156,6 +156,67 @@ def test_rank_candidates_per_class(rng):
         assert (top_idx[c] // 10 == c).all()
 
 
+def _rank_fixture(rng, n=500, C=7, D=16):
+    prompts = rng.normal(size=(C, D)).astype(np.float32)
+    cands = rng.normal(size=(n, D)).astype(np.float32)
+    cls = rng.integers(0, C, size=n).astype(np.int32)
+    cls[rng.random(n) < 0.1] = -1  # filtered-out candidates
+    return prompts, cands, cls
+
+
+def test_rank_candidates_chunked_matches_dense(rng):
+    """The streaming per-class top-k merge (LAION-scale memory-bounded
+    path) is exact: identical to the dense [C, N] sort, including the
+    short padded last chunk and -1/-inf tails for sparse classes."""
+    prompts, cands, cls = _rank_fixture(rng)
+    ref_idx, ref_sim = R.rank_candidates(prompts, cands, cls, top_k=9)
+    for chunk in (64, 97, 500, 1000):  # odd sizes exercise the padding
+        idx, sim = R.rank_candidates(prompts, cands, cls, top_k=9,
+                                     chunk=chunk)
+        np.testing.assert_array_equal(idx, ref_idx, err_msg=f"chunk={chunk}")
+        np.testing.assert_allclose(sim, ref_sim, rtol=1e-6)
+
+
+def test_rank_candidates_approx_rerank_sorted(rng):
+    """approx mode = approx_max_k 2x shortlist + exact re-rank: results
+    are exactly ordered (the sampler's cutoff logic reads order); on the
+    CPU backend approx_max_k is an exact fallback so the whole result
+    matches the dense sort, chunked or not."""
+    prompts, cands, cls = _rank_fixture(rng)
+    ref_idx, ref_sim = R.rank_candidates(prompts, cands, cls, top_k=9)
+    for chunk in (None, 128):
+        idx, sim = R.rank_candidates(prompts, cands, cls, top_k=9,
+                                     approx=True, chunk=chunk)
+        valid = np.isfinite(sim)
+        assert (np.diff(np.where(valid, sim, -np.inf), axis=1) <= 0).all()
+        np.testing.assert_array_equal(idx, ref_idx)
+        np.testing.assert_allclose(sim, ref_sim, rtol=1e-6)
+
+
+def test_rank_candidates_auto_thresholds(rng, monkeypatch):
+    """'auto' stays exact below APPROX_AUTO_N and the dense path
+    auto-chunks once C*N crosses MAX_DENSE_ELEMS."""
+    prompts, cands, cls = _rank_fixture(rng)
+    ref_idx, ref_sim = R.rank_candidates(prompts, cands, cls, top_k=5)
+    idx, sim = R.rank_candidates(prompts, cands, cls, top_k=5,
+                                 approx="auto")
+    np.testing.assert_array_equal(idx, ref_idx)
+
+    calls = []
+    real = R._rank_candidates_chunked
+
+    def spy(*a, **k):
+        calls.append(k.get("chunk"))
+        return real(*a, **k)
+
+    monkeypatch.setattr(R, "_rank_candidates_chunked", spy)
+    monkeypatch.setattr(R, "MAX_DENSE_ELEMS", 1024)
+    idx, sim = R.rank_candidates(prompts, cands, cls, top_k=5)
+    assert calls and calls[0] >= 5
+    np.testing.assert_array_equal(idx, ref_idx)
+    np.testing.assert_allclose(sim, ref_sim, rtol=1e-6)
+
+
 def test_near_duplicate_indices(rng):
     base = rng.normal(size=(6, 16)).astype(np.float32)
     base /= np.linalg.norm(base, axis=-1, keepdims=True)
