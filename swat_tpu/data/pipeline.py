@@ -75,6 +75,30 @@ def _prefetch(gen, depth: int = 2):
         stop.set()
 
 
+def device_prefetch(batches, mesh, depth: int = 1):
+    """Double-buffered host->device feed: keep up to ``depth`` sharded
+    uploads IN FLIGHT ahead of the consumer.  `jax.device_put` is async,
+    so eagerly sharding the next batch while the previous step computes
+    overlaps the H2D DMA with device compute — the TPU-VM equivalent of
+    the reference's pinned-memory DataLoader + non_blocking copies
+    (utils/training.py:1454).  On a tunneled single-host chip dispatch
+    serializes and this is a no-op in effect (measured; CLAUDE.md)."""
+    from swat_tpu.core.mesh import shard_batch
+
+    it = iter(batches)
+    buf: List = []
+    try:
+        for batch in it:
+            buf.append(shard_batch(mesh, batch))
+            if len(buf) > depth:
+                yield buf.pop(0)
+        while buf:
+            yield buf.pop(0)
+    finally:
+        if hasattr(it, "close"):
+            it.close()
+
+
 class EvalLoader:
     """Deterministic order, fixed batch shape, final batch padded + masked."""
 

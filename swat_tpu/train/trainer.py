@@ -21,7 +21,6 @@ from typing import Any, Callable, Dict, Iterable, Optional
 import jax
 import numpy as np
 
-from swat_tpu.core.mesh import shard_batch
 from swat_tpu.eval.metrics import calculate_scores
 from swat_tpu.train.checkpoint import save_train_ckpt
 
@@ -133,11 +132,16 @@ def train_loop(
             # step would serialize dispatch against compute and stall the
             # pipeline on every host round-trip
             epoch_losses = []
-            for batch in train_batches():
+            batches = train_batches()
+            if mesh is not None:
+                # double-buffered sharded uploads: batch N+1's H2D DMA
+                # overlaps step N's compute (data/pipeline.device_prefetch)
+                from swat_tpu.data.pipeline import device_prefetch
+
+                batches = device_prefetch(batches, mesh)
+            for batch in batches:
                 num_iter += 1
                 key, sub = jax.random.split(key)
-                if mesh is not None:
-                    batch = shard_batch(mesh, batch)
                 state, loss = step_fn(state, batch, sub)
                 epoch_losses.append(loss)
             train_loss_sum = float(sum(epoch_losses[1:], epoch_losses[0])) \

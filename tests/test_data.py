@@ -344,3 +344,38 @@ def test_palette_image_converts_after_resize():
     convert_first = np.asarray(
         pimg.convert("RGB").resize((32, 32), Image.BICUBIC))
     assert np.abs(got.astype(int) - convert_first.astype(int)).max() > 0
+
+
+def test_device_prefetch_double_buffer():
+    """device_prefetch yields every batch sharded over the data axis, in
+    order, with up to `depth` uploads in flight; breaking the consumer
+    closes the source generator (thread pools shut down)."""
+    import jax
+
+    from swat_tpu.core.mesh import MeshSpec, create_mesh
+    from swat_tpu.data.pipeline import device_prefetch
+
+    mesh = create_mesh(MeshSpec(data=8, model=1))
+    batches = [{"x": np.full((16, 3), i, np.float32),
+                "y": np.arange(16) + i} for i in range(5)]
+
+    out = list(device_prefetch(iter(batches), mesh, depth=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        np.testing.assert_array_equal(np.asarray(b["x"]), batches[i]["x"])
+        np.testing.assert_array_equal(np.asarray(b["y"]), batches[i]["y"])
+        assert "data" in str(b["x"].sharding.spec)
+
+    closed = []
+
+    def src():
+        try:
+            for b in batches:
+                yield b
+        finally:
+            closed.append(True)
+
+    gen = device_prefetch(src(), mesh, depth=1)
+    next(gen)
+    gen.close()
+    assert closed == [True]
