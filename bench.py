@@ -97,9 +97,12 @@ def main():
         def body(carry, xs):
             idx, k = xs
             k_aug, k_mix = jax.random.split(k)
-            x = aug.train_augment(canv[idx], hw[idx], k_aug)
+            # bf16 resample = the production bf16-policy augment
+            # (scripts/ablate_aug.py: 4.5 -> 2.2 ms/step)
+            x = aug.train_augment(canv[idx], hw[idx], k_aug,
+                                  dtype=jnp.bfloat16)
             x, *_ = aug.cutmix(x, lab[idx], k_mix)
-            return carry + x[0, 0, 0, 0], None
+            return carry + x[0, 0, 0, 0].astype(jnp.float32), None
 
         s, _ = jax.lax.scan(body, jnp.float32(0), (p, keys))
         return s
@@ -153,7 +156,8 @@ def main():
     state, tx = create_train_state(
         params, head, "cutmix", lr_classifier=1e-4, lr_backbone=1e-6,
         total_iter=STEPS_PER_EPOCH * (EPOCHS + 2))
-    run_epoch = make_scan_epoch(model, tx, "cutmix")
+    run_epoch = make_scan_epoch(model, tx, "cutmix",
+                                aug_dtype=jnp.bfloat16)
 
     key = jax.random.PRNGKey(0)
     key, sub = jax.random.split(key)

@@ -94,7 +94,7 @@ def make_scan_epoch(model: CLIPModel, tx, method: str,
                     loss: LossFn = cross_entropy, *,
                     mixup_alpha: float = 1.0, cutmix_beta: float = 1.0,
                     mix_prob: float = 0.5, image_size: int = 224,
-                    mesh=None):
+                    mesh=None, aug_dtype=jnp.float32):
     """Returns run(state, data, perm, key[, twin_data, twin_perm]) ->
     (state, mean_loss), one device dispatch per epoch.
 
@@ -124,14 +124,15 @@ def make_scan_epoch(model: CLIPModel, tx, method: str,
 
         def loss_fn(trainable):
             images = aug.train_augment(batch["canvases"], batch["valid_hw"],
-                                       k_aug, out_size=image_size)
+                                       k_aug, out_size=image_size,
+                                       dtype=aug_dtype)
             labels = batch["labels"]
             source = batch["source"]
             lam_vec = None
             if twin is not None:
                 images2 = aug.train_augment(
                     twin["canvases"], twin["valid_hw"], k_aug2,
-                    out_size=image_size)
+                    out_size=image_size, dtype=aug_dtype)
 
             if method == "cutmix":
                 images, y_a, y_b, lam = aug.cutmix(

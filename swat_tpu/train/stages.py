@@ -630,10 +630,20 @@ class SwatPipeline:
                 make_scan_epoch,
             )
 
+            # augmentation follows the compute policy: under bf16 the
+            # model casts pixels to bf16 at the first matmul anyway, so
+            # the RRC resample runs its tensordots in bf16 too (2x
+            # measured, scripts/ablate_aug.py); fp32 parity runs keep
+            # the f32 resample
+            import jax.numpy as _jnp
+
+            aug_dtype = (_jnp.float32 if cfg.compute_dtype == "float32"
+                         else _jnp.bfloat16)
             scan_epoch = make_scan_epoch(
                 self.model, tx, method, loss, mixup_alpha=cfg.mixup_alpha,
                 cutmix_beta=cfg.cutmix_beta, mix_prob=cfg.mix_prob,
-                image_size=image_size, mesh=self.mesh)
+                image_size=image_size, mesh=self.mesh,
+                aug_dtype=aug_dtype)
             perm_rng = np.random.default_rng(cfg.training_seed)
             twin_bsz = (cfg.bsz if method == "mixup-fs" else
                         max(1, int(cfg.bsz * cfg.fewshot_ratio)))

@@ -140,3 +140,22 @@ def test_beta_zero_disables_mixing(rng):
                                   0.0, 1.0)
         np.testing.assert_array_equal(np.asarray(mixed), np.asarray(imgs))
         assert float(lam) == 1.0
+
+
+def test_rrc_bf16_close_to_f32(rng):
+    """The bf16 resample (production bf16-policy scan path) deviates from
+    the f32 one by at most a few uint8 LSBs — augmentation-level noise,
+    not a semantic change (crop boxes/flips are identical: same keys)."""
+    import jax
+    import jax.numpy as jnp
+
+    from swat_tpu.kernels.augment import random_resized_crop
+
+    canv = jnp.asarray(rng.integers(0, 255, (8, 64, 64, 3)), jnp.uint8)
+    hw = jnp.full((8, 2), 64, jnp.int32)
+    k = jax.random.PRNGKey(3)
+    a = random_resized_crop(canv, hw, k, out_size=32)
+    b = random_resized_crop(canv, hw, k, out_size=32, dtype=jnp.bfloat16)
+    assert b.dtype == jnp.bfloat16
+    dev = float(jnp.max(jnp.abs(a - b.astype(jnp.float32))))
+    assert dev < 6.0  # a couple of LSBs on the 0..255 scale

@@ -131,3 +131,30 @@ def test_scan_epoch_rn50_updates_bn_stats(samples):
     assert np.isfinite(float(loss))
     after = np.asarray(state.model["visual"]["bn1"]["mean"])
     assert not np.allclose(before, after)
+
+
+def test_scan_epoch_bf16_aug_learns(samples):
+    """The bf16-policy scan path (aug_dtype=bfloat16, the production
+    configuration under --compute_dtype bfloat16) trains: finite,
+    decreasing loss on the color-separable set."""
+    model = CLIPModel(CFG)  # default bf16 compute policy
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32),
+        jnp.zeros((1, CFG.text.context_length), jnp.int32))["params"]
+    head = init_head_random(jax.random.PRNGKey(1), 3, CFG.embed_dim)
+    state, tx = create_train_state(params, head, "cutmix",
+                                   lr_classifier=1e-2, lr_backbone=1e-3,
+                                   total_iter=30)
+    run = make_scan_epoch(model, tx, "cutmix", image_size=32,
+                          aug_dtype=jnp.bfloat16)
+    data = ResidentData.from_samples(samples, canvas=48, num_workers=4)
+    rng = np.random.default_rng(0)
+    losses = []
+    key = jax.random.PRNGKey(0)
+    for epoch in range(6):
+        key, sub = jax.random.split(key)
+        perm = epoch_permutation(rng, data.n, 8)
+        state, loss = run(state, data, perm, sub)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
