@@ -236,9 +236,9 @@ def get_tokenizer(bpe_path: str | None = None):
     embeddings and the text-initialized head from meaningless tokens
     while training proceeds to near-random accuracy (open_clip fails
     loudly here too)."""
-    if bpe_path and os.path.isdir(bpe_path):
-        return HFTokenizerAdapter(bpe_path)
     explicit = bpe_path or os.environ.get("SWAT_BPE_PATH")
+    if explicit and os.path.isdir(explicit):
+        return HFTokenizerAdapter(explicit)
     if explicit:
         return SimpleTokenizer(explicit)
     return HashTokenizer()

@@ -263,3 +263,29 @@ def test_get_tokenizer_strict_on_explicit_path(tmp_path, monkeypatch):
     monkeypatch.setenv("SWAT_BPE_PATH", str(tmp_path / "nope.txt.gz"))
     with _pytest.raises(FileNotFoundError):
         get_tokenizer(None)
+
+
+def test_get_tokenizer_env_dir_dispatches_hf(tmp_path, monkeypatch):
+    """A *directory* given via $SWAT_BPE_PATH (not just the explicit
+    argument) must route to the HF-tokenizer adapter — regression for the
+    env-var path falling through to SimpleTokenizer and failing on a
+    directory open."""
+    from swat_tpu.models import tokenizer as tok_mod
+
+    seen = {}
+
+    class _Sentinel:
+        def __init__(self, path):
+            seen["path"] = path
+
+    monkeypatch.setattr(tok_mod, "HFTokenizerAdapter", _Sentinel)
+    hf_dir = tmp_path / "hf_tok"
+    hf_dir.mkdir()
+    monkeypatch.setenv("SWAT_BPE_PATH", str(hf_dir))
+    assert isinstance(tok_mod.get_tokenizer(None), _Sentinel)
+    assert seen["path"] == str(hf_dir)
+    # explicit argument still wins over the env var
+    hf_dir2 = tmp_path / "hf_tok2"
+    hf_dir2.mkdir()
+    assert isinstance(tok_mod.get_tokenizer(str(hf_dir2)), _Sentinel)
+    assert seen["path"] == str(hf_dir2)
