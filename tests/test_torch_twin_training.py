@@ -231,6 +231,107 @@ def test_probing_trajectory_matches_torch():
 
 
 # ---------------------------------------------------------------------------
+# cutmix (the SWAT stage-1 flagship): CE twin + box-mixed batches +
+# lam-weighted mixup criterion (reference train_cutmix utils/training.py:
+# 1422-1556, mixup_criterion :1157-1158). The mixing itself comes from
+# `aug.cutmix` (separately verified: rand_bbox distribution, pixel-ratio
+# lambda — tests/test_augment.py); this twin proves the COMPOSED training
+# dynamics on mixed batches — torch oracle forward/backward + the
+# two-term weighted loss + AdamW param groups — match the production
+# `make_mixing_step("cutmix")` path step for step.
+
+
+def test_cutmix_trajectory_matches_torch():
+    from swat_tpu.kernels import augment as aug
+
+    sd0, images, labels, head0 = _fixtures()
+
+    # replicate the step's internal key discipline to hand the torch twin
+    # the exact mixed batches the jax step will see:
+    # step splits key -> (k_aug, k_aug2, k_mix) and mixes with k_mix
+    step_keys = [jax.random.fold_in(jax.random.PRNGKey(7), i)
+                 for i in range(N_STEPS)]
+    j_images = jnp.asarray(images.numpy())
+    j_labels = jnp.asarray(labels.numpy())
+    mixes = []
+    for k in step_keys:
+        k_mix = jax.random.split(k, 3)[2]
+        mixed, y_a, y_b, lam = aug.cutmix(j_images, j_labels, k_mix,
+                                          1.0, 1.0)
+        mixes.append((torch.from_numpy(np.array(mixed)),
+                      torch.from_numpy(np.array(y_a)).long(),
+                      torch.from_numpy(np.array(y_b)).long(),
+                      float(lam)))
+    # the mixing must actually engage somewhere in the trajectory
+    assert min(m[3] for m in mixes) < 0.95
+    assert any((m[1] != m[2]).any() for m in mixes)
+
+    # -- torch twin on the fixed mixed batches
+    sd = {k: v.clone().detach() for k, v in sd0.items()}
+    vis_params = []
+    for k, v in sd.items():
+        if k.startswith("visual."):
+            v.requires_grad_(True)
+            vis_params.append(v)
+    head = head0.clone().detach().requires_grad_(True)
+    logit_scale = sd["logit_scale"].clone().detach().requires_grad_(True)
+    opt = torch.optim.AdamW(
+        [{"params": vis_params, "lr": LR_BB},
+         {"params": [head, logit_scale], "lr": LR_HEAD}],
+        betas=(0.9, 0.999), eps=1e-8, weight_decay=WD)
+    t_losses = []
+    for i, (mx, y_a, y_b, lam) in enumerate(mixes):
+        for group, base in zip(opt.param_groups, (LR_BB, LR_HEAD)):
+            group["lr"] = _ref_lr(i, base)
+        opt.zero_grad()
+        feats = oracle_encode_image(sd, mx)
+        logits = logit_scale.exp() * (feats @ head.T)
+        loss = (lam * torch.nn.functional.cross_entropy(logits, y_a)
+                + (1.0 - lam)
+                * torch.nn.functional.cross_entropy(logits, y_b))
+        loss.backward()
+        opt.step()
+        t_losses.append(loss.item())
+    t_sd = {k: v.detach().numpy() for k, v in sd.items()}
+
+    # -- production jax path
+    params, ls0 = torch_state_dict_to_params(
+        {k: v.clone() for k, v in sd0.items()},
+        vision_layers=LAYERS, text_layers=LAYERS)
+    model = CLIPModel(CFG, precision=FP32_PRECISION)
+    state, tx = create_train_state(
+        params, head0.numpy(), "cutmix", lr_classifier=LR_HEAD,
+        lr_backbone=LR_BB, total_iter=N_STEPS, wd=WD,
+        logit_scale=ls0, warmup_iter=WARM)
+    step = steps_mod.make_mixing_step(model, tx, "cutmix",
+                                      mix_prob=1.0, image_size=IMG)
+    batch = {"images": j_images, "labels": j_labels,
+             "source": jnp.zeros((B,), jnp.int32)}
+    j_losses = []
+    for k in step_keys:
+        state, loss = step(state, batch, k)
+        j_losses.append(float(loss))
+
+    np.testing.assert_allclose(j_losses, t_losses, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(float(state.logit_scale), logit_scale.item(),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(state.head),
+                               head.detach().numpy(), rtol=0, atol=2e-5)
+    model_np = jax.tree_util.tree_map(np.asarray,
+                                      jax.device_get(state.model))
+    j_sd = params_to_torch_state_dict(model_np, float(state.logit_scale))
+    for k, ref in t_sd.items():
+        if k == "logit_scale":
+            continue
+        if k.startswith("visual."):
+            np.testing.assert_allclose(j_sd[k], ref, rtol=0, atol=2e-5,
+                                       err_msg=k)
+        else:
+            np.testing.assert_array_equal(j_sd[k], sd0[k].numpy(),
+                                          err_msg=k)
+
+
+# ---------------------------------------------------------------------------
 # FLYP: bidirectional InfoNCE, BOTH towers train, projectors at
 # lr_projector, logit_scale at lr_classifier, head NOT in the optimizer
 # (reference train_flyp utils/training.py:415-552, set_params :83-120)
