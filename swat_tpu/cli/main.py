@@ -153,6 +153,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["canvas", "host"])
     p.add_argument("--use_pallas", default=False, type=str2bool)
     p.add_argument("--remat", default=False, type=str2bool)
+    p.add_argument("--resident", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="whole-epoch-on-device scan execution: auto picks "
+                        "it when the split fits --resident_budget_bytes")
+    p.add_argument("--resident_budget_bytes", type=int,
+                   default=6_000_000_000)
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--trace_dir", type=str, default=None)
