@@ -64,10 +64,18 @@ def make_labels(params, method: str, head=None, locked_text: bool = False):
     head_tag = "frozen" if method == "FLYP" else "head"
     head_labels = (head_tag if head is None else
                    jax.tree_util.tree_map(lambda _: head_tag, head))
+    # fixmatch: logit_scale is in the reference's optimizer (the finetune
+    # branch, utils/optimizers.py:80-81) but the fixmatch loss never uses
+    # it (utils/training.py:893-908 — the scaled variant is commented
+    # out), so its torch grad stays None and AdamW SKIPS it: it remains
+    # bit-constant at ln(1/0.07).  Labeling it 'head' here would apply
+    # decoupled weight decay with zero grads — the same phantom-decay
+    # drift as FLYP's head.
+    ls_trains = trains_logit_scale(method) and method != "fixmatch"
     return {
         "model": label_params(params, method, locked_text),
         "head": head_labels,
-        "logit_scale": "head" if trains_logit_scale(method) else "frozen",
+        "logit_scale": "head" if ls_trains else "frozen",
     }
 
 

@@ -332,6 +332,162 @@ def test_cutmix_trajectory_matches_torch():
 
 
 # ---------------------------------------------------------------------------
+# CMLP (cross-modal linear probing): image features + a text-feature bank
+# concatenated with shared labels, head-only AdamW, logit_scale pinned at
+# ln(100) (reference train_CMLP utils/training.py:164-293, set_params
+# :53-59).
+
+
+def test_cmlp_trajectory_matches_torch():
+    g = torch.Generator().manual_seed(51)
+    img_f = torch.randn(B, EMBED, generator=g)
+    img_f = img_f / img_f.norm(dim=-1, keepdim=True)
+    txt_f = torch.randn(B + 2, EMBED, generator=g)
+    txt_f = txt_f / txt_f.norm(dim=-1, keepdim=True)
+    img_y = torch.randint(0, C, (B,), generator=g)
+    txt_y = torch.randint(0, C, (B + 2,), generator=g)
+    head0 = torch.randn(C, EMBED, generator=g) * 0.05
+
+    head = head0.clone().detach().requires_grad_(True)
+    opt = torch.optim.AdamW([{"params": [head], "lr": LR_HEAD}],
+                            betas=(0.9, 0.999), eps=1e-8, weight_decay=WD)
+    feats = torch.cat([img_f, txt_f], dim=0)
+    labels = torch.cat([img_y, txt_y], dim=0)
+    t_losses = []
+    for i in range(N_STEPS):
+        opt.param_groups[0]["lr"] = _ref_lr(i, LR_HEAD)
+        opt.zero_grad()
+        logits = 100.0 * (feats @ head.T)
+        loss = torch.nn.functional.cross_entropy(logits, labels)
+        loss.backward()
+        opt.step()
+        t_losses.append(loss.item())
+
+    sd0 = make_oracle_sd(seed=11)
+    params, _ = torch_state_dict_to_params(
+        {k: v.clone() for k, v in sd0.items()},
+        vision_layers=LAYERS, text_layers=LAYERS)
+    model = CLIPModel(CFG, precision=FP32_PRECISION)
+    state, tx = create_train_state(
+        params, head0.numpy(), "CMLP", lr_classifier=LR_HEAD,
+        total_iter=N_STEPS, wd=WD, warmup_iter=WARM)
+    assert float(state.logit_scale) == pytest.approx(math.log(100.0))
+    step = steps_mod.make_cmlp_step(model, tx, pre_extracted=True)
+    batch = {"features": jnp.asarray(img_f.numpy()),
+             "labels": jnp.asarray(img_y.numpy()),
+             "text_features": jnp.asarray(txt_f.numpy()),
+             "text_labels": jnp.asarray(txt_y.numpy())}
+    j_losses = []
+    for _ in range(N_STEPS):
+        state, loss = step(state, batch, jax.random.PRNGKey(0))
+        j_losses.append(float(loss))
+
+    np.testing.assert_allclose(j_losses, t_losses, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(state.head),
+                               head.detach().numpy(), rtol=0, atol=2e-5)
+    assert float(state.logit_scale) == pytest.approx(math.log(100.0))
+
+
+# ---------------------------------------------------------------------------
+# FixMatch: labeled CE + confidence-masked consistency on weak/strong
+# unlabeled views (reference train_fixmatch utils/training.py:820-983).
+# Both losses use UNSCALED logits (:893-908 — the scaled pseudo-label
+# variant is commented out), so logit_scale never receives a torch grad
+# and AdamW skips it: it must stay BIT-CONSTANT at ln(1/0.07) in both
+# frameworks (regression for phantom weight decay on a zero-grad param).
+
+
+def test_fixmatch_trajectory_matches_torch():
+    THRESH = 0.15   # tiny random model: real 0.95 would mask everything
+    sd0, images, labels, head0 = _fixtures()
+    g = torch.Generator().manual_seed(61)
+    images_w = torch.randn(B, IMG, IMG, 3, generator=g)
+    images_s = images_w + 0.3 * torch.randn(B, IMG, IMG, 3, generator=g)
+
+    sd = {k: v.clone().detach() for k, v in sd0.items()}
+    vis_params = []
+    for k, v in sd.items():
+        if k.startswith("visual."):
+            v.requires_grad_(True)
+            vis_params.append(v)
+    head = head0.clone().detach().requires_grad_(True)
+    logit_scale = sd["logit_scale"].clone().detach().requires_grad_(True)
+    opt = torch.optim.AdamW(
+        [{"params": vis_params, "lr": LR_BB},
+         {"params": [head, logit_scale], "lr": LR_HEAD}],
+        betas=(0.9, 0.999), eps=1e-8, weight_decay=WD)
+    t_losses, t_masks = [], []
+    for i in range(N_STEPS):
+        for group, base in zip(opt.param_groups, (LR_BB, LR_HEAD)):
+            group["lr"] = _ref_lr(i, base)
+        opt.zero_grad()
+        all_images = torch.cat([images, images_w, images_s], dim=0)
+        feats = oracle_encode_image(sd, all_images)
+        logits = feats @ head.T
+        logits_l = logits[:B]
+        logits_u_w, logits_u_s = logits[B:].chunk(2)
+        loss_l = torch.nn.functional.cross_entropy(logits_l, labels)
+        pseudo = torch.softmax(logits_u_w, dim=-1)
+        max_p, targets = torch.max(pseudo, dim=-1)
+        mask = max_p.ge(THRESH).float()
+        loss_u = (torch.nn.functional.cross_entropy(
+            logits_u_s, targets, reduction="none") * mask).mean()
+        loss = loss_l + 1.0 * loss_u
+        loss.backward()
+        opt.step()
+        t_losses.append(loss.item())
+        t_masks.append(mask.mean().item())
+    # torch AdamW skipped the grad-less logit_scale entirely
+    assert logit_scale.item() == sd0["logit_scale"].item()
+    t_sd = {k: v.detach().numpy() for k, v in sd.items()}
+
+    params, ls0 = torch_state_dict_to_params(
+        {k: v.clone() for k, v in sd0.items()},
+        vision_layers=LAYERS, text_layers=LAYERS)
+    model = CLIPModel(CFG, precision=FP32_PRECISION)
+    state, tx = create_train_state(
+        params, head0.numpy(), "fixmatch", lr_classifier=LR_HEAD,
+        lr_backbone=LR_BB, total_iter=N_STEPS, wd=WD,
+        logit_scale=ls0, warmup_iter=WARM)
+    step = steps_mod.make_fixmatch_step(model, tx, threshold=THRESH,
+                                        lambda_u=1.0, image_size=IMG,
+                                        aux=True)
+    batch = {"images": jnp.asarray(images.numpy()),
+             "labels": jnp.asarray(labels.numpy()),
+             "images_w": jnp.asarray(images_w.numpy()),
+             "images_s": jnp.asarray(images_s.numpy()),
+             "source": jnp.zeros((B,), jnp.int32)}
+    j_losses, j_masks = [], []
+    for _ in range(N_STEPS):
+        state, (loss, mask_rate, _) = step(state, batch,
+                                           jax.random.PRNGKey(0))
+        j_losses.append(float(loss))
+        j_masks.append(float(mask_rate))
+
+    # the consistency branch must actually engage
+    assert max(t_masks) > 0
+    np.testing.assert_allclose(j_masks, t_masks, rtol=0, atol=0)
+    np.testing.assert_allclose(j_losses, t_losses, rtol=2e-4, atol=2e-5)
+    # logit_scale bit-constant on our side too (it is in the reference's
+    # optimizer but never gets a grad; torch skips None-grad params)
+    assert float(state.logit_scale) == pytest.approx(ls0, abs=0)
+    np.testing.assert_allclose(np.asarray(state.head),
+                               head.detach().numpy(), rtol=0, atol=2e-5)
+    j_sd = params_to_torch_state_dict(
+        jax.tree_util.tree_map(np.asarray, jax.device_get(state.model)),
+        float(state.logit_scale))
+    for k, ref in t_sd.items():
+        if k == "logit_scale":
+            continue
+        if k.startswith("visual."):
+            np.testing.assert_allclose(j_sd[k], ref, rtol=0, atol=2e-5,
+                                       err_msg=k)
+        else:
+            np.testing.assert_array_equal(j_sd[k], sd0[k].numpy(),
+                                          err_msg=k)
+
+
+# ---------------------------------------------------------------------------
 # FLYP: bidirectional InfoNCE, BOTH towers train, projectors at
 # lr_projector, logit_scale at lr_classifier, head NOT in the optimizer
 # (reference train_flyp utils/training.py:415-552, set_params :83-120)
