@@ -312,7 +312,9 @@ def make_multitask_step(model: CLIPModel, tx, loss: LossFn = cross_entropy,
                                           images)
             scale = jnp.exp(trainable["logit_scale"])
             logits = head_logits(trainable["head"]["cls"], feats) * scale
-            ds_logits = head_logits(trainable["head"]["dataset"], feats) * scale
+            # dataset logits are deliberately UNSCALED: the reference
+            # comments the scaling out (utils/training.py:1035-1036)
+            ds_logits = head_logits(trainable["head"]["dataset"], feats)
             cls_loss = loss(logits, batch["labels"], batch["source"])
             ds_loss = cross_entropy(ds_logits, batch["source"], None)
             return cls_loss + dataset_wd * ds_loss, bn_upd

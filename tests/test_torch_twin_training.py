@@ -389,6 +389,84 @@ def test_cmlp_trajectory_matches_torch():
 
 
 # ---------------------------------------------------------------------------
+# finetune-multitask: class head (scaled logits) + binary dataset-source
+# head (UNSCALED — the reference comments the scaling out,
+# utils/training.py:1035-1036), weighted sum loss, all heads +
+# logit_scale at lr_classifier, visual at lr_backbone (set_params
+# :76-81).
+
+
+def test_multitask_trajectory_matches_torch():
+    DS_WD = 0.7
+    sd0, images, labels, head0 = _fixtures()
+    g = torch.Generator().manual_seed(71)
+    source = torch.randint(0, 2, (B,), generator=g)
+    ds_head0 = torch.randn(2, EMBED, generator=g) * 0.05
+
+    sd = {k: v.clone().detach() for k, v in sd0.items()}
+    vis_params = []
+    for k, v in sd.items():
+        if k.startswith("visual."):
+            v.requires_grad_(True)
+            vis_params.append(v)
+    head = head0.clone().detach().requires_grad_(True)
+    ds_head = ds_head0.clone().detach().requires_grad_(True)
+    logit_scale = sd["logit_scale"].clone().detach().requires_grad_(True)
+    opt = torch.optim.AdamW(
+        [{"params": vis_params, "lr": LR_BB},
+         {"params": [head, ds_head, logit_scale], "lr": LR_HEAD}],
+        betas=(0.9, 0.999), eps=1e-8, weight_decay=WD)
+    t_losses = []
+    for i in range(N_STEPS):
+        for group, base in zip(opt.param_groups, (LR_BB, LR_HEAD)):
+            group["lr"] = _ref_lr(i, base)
+        opt.zero_grad()
+        feats = oracle_encode_image(sd, images)
+        logits = logit_scale.exp() * (feats @ head.T)
+        ds_logits = feats @ ds_head.T
+        loss = (torch.nn.functional.cross_entropy(logits, labels)
+                + DS_WD * torch.nn.functional.cross_entropy(
+                    ds_logits, source))
+        loss.backward()
+        opt.step()
+        t_losses.append(loss.item())
+    t_sd = {k: v.detach().numpy() for k, v in sd.items()}
+
+    params, ls0 = torch_state_dict_to_params(
+        {k: v.clone() for k, v in sd0.items()},
+        vision_layers=LAYERS, text_layers=LAYERS)
+    model = CLIPModel(CFG, precision=FP32_PRECISION)
+    state, tx = create_train_state(
+        params, {"cls": head0.numpy(), "dataset": ds_head0.numpy()},
+        "finetune-multitask", lr_classifier=LR_HEAD, lr_backbone=LR_BB,
+        total_iter=N_STEPS, wd=WD, logit_scale=ls0, warmup_iter=WARM)
+    step = steps_mod.make_multitask_step(model, tx, dataset_wd=DS_WD,
+                                         image_size=IMG)
+    batch = {"images": jnp.asarray(images.numpy()),
+             "labels": jnp.asarray(labels.numpy()),
+             "source": jnp.asarray(source.numpy())}
+    j_losses = []
+    for _ in range(N_STEPS):
+        state, loss = step(state, batch, jax.random.PRNGKey(0))
+        j_losses.append(float(loss))
+
+    np.testing.assert_allclose(j_losses, t_losses, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(float(state.logit_scale),
+                               logit_scale.item(), rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(state.head["cls"]),
+                               head.detach().numpy(), rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(state.head["dataset"]),
+                               ds_head.detach().numpy(), rtol=0, atol=2e-5)
+    j_sd = params_to_torch_state_dict(
+        jax.tree_util.tree_map(np.asarray, jax.device_get(state.model)),
+        float(state.logit_scale))
+    for k, ref in t_sd.items():
+        if k.startswith("visual."):
+            np.testing.assert_allclose(j_sd[k], ref, rtol=0, atol=2e-5,
+                                       err_msg=k)
+
+
+# ---------------------------------------------------------------------------
 # FixMatch: labeled CE + confidence-masked consistency on weak/strong
 # unlabeled views (reference train_fixmatch utils/training.py:820-983).
 # Both losses use UNSCALED logits (:893-908 — the scaled pseudo-label
