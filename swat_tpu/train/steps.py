@@ -240,7 +240,11 @@ def make_mixing_step(model: CLIPModel, tx, method: str,
                 images, y_a, y_b, lam_vec = aug.saliencymix(
                     images, labels, k_mix, cutmix_beta, mix_prob)
             elif method == "attentivemix":
-                heatmaps = heatmap_fn(trainable["model"], images)
+                # the reference's GEM heatmap model is a SEPARATE frozen
+                # model (utils/training.py:2682) — no gradients flow from
+                # the mixing loss into the heatmap network
+                heatmaps = jax.lax.stop_gradient(
+                    heatmap_fn(trainable["model"], images))
                 images, y_a, y_b, lam_vec = aug.attentivemix(
                     images, labels, heatmaps, k_mix, cutmix_beta, mix_prob)
             else:
