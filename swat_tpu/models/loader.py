@@ -260,9 +260,16 @@ def _conv_kernel(sd, key):
 
 
 def torch_rn50_visual_to_params(sd: Mapping[str, Any],
-                                layers=(3, 4, 6, 3)) -> dict:
+                                layers=None) -> dict:
     """OpenCLIP ModifiedResNet visual state dict -> flax params
-    (swat_tpu.models.resnet.ModifiedResNet layout)."""
+    (swat_tpu.models.resnet.ModifiedResNet layout).  ``layers`` (blocks
+    per stage) is inferred from the state dict when not given, so RN50's
+    (3,4,6,3), RN101's (3,4,23,3), and tiny test towers all load."""
+    if layers is None:
+        layers = tuple(
+            1 + max(int(k.split(".")[2]) for k in sd
+                    if k.startswith(f"visual.layer{s}."))
+            for s in (1, 2, 3, 4))
     v: dict = {}
     for i in (1, 2, 3):
         v[f"conv{i}"] = _conv_kernel(sd, f"visual.conv{i}.weight")
