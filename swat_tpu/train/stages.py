@@ -89,6 +89,15 @@ class SwatPipeline:
                      else DEFAULT_PRECISION)
         self.model = CLIPModel(self.model_cfg, precision=precision,
                                remat=cfg.remat, use_pallas=cfg.use_pallas)
+        if ("vitl14" in cfg.model_cfg and not cfg.remat
+                and cfg.bsz >= 64 and len(jax.devices()) == 1):
+            # measured: L/14 fwd+bwd at bsz 64 needs 16.5G HBM vs a v5e
+            # chip's 15.75G (scripts/bench_models.py); the reference's
+            # bsz-32 config fits without remat
+            self.logger.warning(
+                "ViT-L/14 training at bsz>=64 on one chip usually "
+                "exceeds HBM — pass --remat True (or shard with "
+                "--mesh_data) if compilation reports out-of-memory.")
 
         # ---- pretrained weights (reference set_model, utils/models.py:11)
         if cfg.checkpoint_path:
