@@ -21,7 +21,8 @@ STEPS = 10
 PEAK_TFLOPS = 197.0
 # fwd GFLOP/img at 224px in the 2*M*N*K convention (2x the MAC count);
 # train = 3x fwd
-FWD_GFLOP = {"vitb32": 8.85, "vitb16": 35.1, "vitl14": 161.4}
+FWD_GFLOP = {"vitb32": 8.85, "vitb16": 35.1, "vitl14": 161.4,
+             "rn50": 12.2}  # CLIP ModifiedResNet ~6.1 GMAC/img
 
 
 def bench_one(model_cfg: str, bsz: int, remat: bool = False):
