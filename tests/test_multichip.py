@@ -207,3 +207,47 @@ def test_dp_sharded_twin_scan_epoch_matches_single_device(rng):
     loss_8, head_8 = run(mesh)
     assert loss_1 == pytest.approx(loss_8, rel=1e-5)
     np.testing.assert_allclose(head_1, head_8, rtol=1e-5, atol=1e-7)
+
+
+def test_dp_sharded_validate_matches_single_device(rng):
+    """The eval path every trainer calls: a dp=8 mesh-sharded Evaluator
+    must return the same accuracy, loss, and confusion matrix as the
+    single-device one (batches ride shard_batch; pallas inference
+    attention shard_maps or falls back — either way values match)."""
+    from swat_tpu.eval.validate import Evaluator
+
+    model = CLIPModel(CFG, precision=FP32_PRECISION)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32),
+        jnp.zeros((1, CFG.text.context_length), jnp.int32))["params"]
+    head = np.asarray(
+        init_head_random(jax.random.PRNGKey(1), 3, CFG.embed_dim))
+
+    def batches():
+        out = []
+        r = np.random.default_rng(0)
+        for b in range(3):
+            mask = np.ones(16, bool)
+            if b == 2:
+                mask[10:] = False  # ragged final batch, padded + masked
+            out.append({
+                "images": r.normal(size=(16, 32, 32, 3)).astype(np.float32),
+                "labels": r.integers(0, 3, 16).astype(np.int32),
+                "source": r.integers(0, 2, 16).astype(np.int32),
+                "mask": mask,
+            })
+        return out
+
+    ev1 = Evaluator(model, num_classes=3)
+    acc1, loss1, cm1 = ev1.validate(params, head, np.log(100.0), batches(),
+                                    return_confusion=True)
+
+    mesh = create_mesh(MeshSpec(data=8, model=1))
+    ev8 = Evaluator(model, num_classes=3, mesh=mesh)
+    p8 = jax.device_put(params, NamedSharding(mesh, P()))
+    acc8, loss8, cm8 = ev8.validate(p8, head, np.log(100.0), batches(),
+                                    return_confusion=True)
+
+    assert acc1 == pytest.approx(acc8, abs=1e-9)
+    assert loss1 == pytest.approx(loss8, rel=1e-6)
+    np.testing.assert_array_equal(cm1, cm8)
