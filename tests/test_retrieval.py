@@ -526,3 +526,18 @@ def test_fused_sampler_gapped_class_ids(rng):
         assert a["file_list"] == b["file_list"]
         assert a["num_sampled"] == b["num_sampled"]
         assert 1 not in b["num_sampled"]
+
+
+def test_rank_candidates_mesh_sharded_matches_dense(rng):
+    """Candidate axis sharded over a dp=8 mesh (the multi-chip corpus
+    regime — GSPMD inserts the cross-shard top-k collectives) must
+    return exactly the single-device ranking."""
+    from swat_tpu.core.mesh import MeshSpec, create_mesh
+
+    prompts, cands, cls = _rank_fixture(rng, n=512)
+    ref_idx, ref_sim = R.rank_candidates(prompts, cands, cls, top_k=9)
+    mesh = create_mesh(MeshSpec(data=8, model=1))
+    idx, sim = R.rank_candidates(prompts, cands, cls, top_k=9, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    np.testing.assert_allclose(np.asarray(sim), np.asarray(ref_sim),
+                               rtol=1e-6, atol=1e-7)
