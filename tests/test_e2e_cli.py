@@ -154,6 +154,12 @@ def test_cli_parse_matches_reference_flags(dataset_dir, tmp_path):
     assert not cfg.freeze_visual
     train_files, train_dirs = cfg.train_split
     assert train_files == ["fewshot4_seed2.txt", "T2T500+T2I0.25.txt"]
+    # TPU-native execution-mode flags reach the config
+    assert cfg.resident == "auto"
+    cfg_off = parse_config(["--dataset", "semi-aves", "--resident", "off",
+                            "--resident_budget_bytes", "123"])
+    assert cfg_off.resident == "off"
+    assert cfg_off.resident_budget_bytes == 123
 
 
 def test_resident_off_matches_streaming_learning(dataset_dir, tmp_path):
