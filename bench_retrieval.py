@@ -276,7 +276,12 @@ def bench_index_scale(total: int = 10_000_000, shards: int = 8,
 
 if __name__ == "__main__":
     if "--scale" in sys.argv:
-        bench_index_scale()
+        i = sys.argv.index("--scale")
+        total = (int(sys.argv[i + 1]) if len(sys.argv) > i + 1
+                 and sys.argv[i + 1].isdigit() else 10_000_000)
+        shards = (int(sys.argv[sys.argv.index("--shards") + 1])
+                  if "--shards" in sys.argv else max(8, total // 1_250_000))
+        bench_index_scale(total, shards)
     else:
         bench_index()
         bench_embed_and_topk()
