@@ -77,3 +77,22 @@ def test_missing_file_falls_back_gracefully(tmp_path):
     with pytest.raises(FileNotFoundError):
         native.batch_train_canvases([ok, str(tmp_path / "missing.jpg")],
                                     canvas=64, threads=1)
+
+
+def test_corrupt_jpeg_raises_cleanly(tmp_path):
+    """Truncated or garbage JPEG bytes must surface as a per-image
+    exception (libjpeg error -> PIL fallback -> OSError), never crash the
+    process — the reference's PIL loader raises the same way inside its
+    DataLoader workers."""
+    ok = str(tmp_path / "ok.jpg")
+    Image.fromarray(np.full((40, 40, 3), 100, np.uint8)).save(ok)
+    data = open(ok, "rb").read()
+    trunc = str(tmp_path / "trunc.jpg")
+    with open(trunc, "wb") as f:
+        f.write(data[: len(data) // 3])
+    garb = str(tmp_path / "garb.jpg")
+    with open(garb, "wb") as f:
+        f.write(b"\xff\xd8\xff\xe0NOTAJPEG" + b"\x00" * 100)
+    for bad in (trunc, garb):
+        with pytest.raises(OSError):
+            native.batch_train_canvases([ok, bad], canvas=64, threads=1)
