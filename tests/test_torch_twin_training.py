@@ -389,6 +389,93 @@ def test_cmlp_trajectory_matches_torch():
 
 
 # ---------------------------------------------------------------------------
+# saliencymix: per-image boxes + per-image lambdas through the SUMMED
+# lam-vector criterion (reference mixup_criterion_lam_list
+# utils/training.py:1160-1162 sums per-sample CE — a ~bsz-times larger
+# gradient scale than the mean criteria; deliberately preserved).  The
+# mixing comes from `aug.saliencymix` (unit-verified peak/box semantics);
+# this twin proves the composed SUM-criterion training dynamics.
+
+
+def test_saliencymix_trajectory_matches_torch():
+    from swat_tpu.kernels import augment as aug
+
+    sd0, images, labels, head0 = _fixtures()
+    step_keys = [jax.random.fold_in(jax.random.PRNGKey(13), i)
+                 for i in range(N_STEPS)]
+    j_images = jnp.asarray(images.numpy())
+    j_labels = jnp.asarray(labels.numpy())
+    mixes = []
+    for k in step_keys:
+        k_mix = jax.random.split(k, 3)[2]
+        mixed, y_a, y_b, lam_vec = aug.saliencymix(j_images, j_labels,
+                                                   k_mix, 1.0, 1.0)
+        mixes.append((torch.from_numpy(np.array(mixed)),
+                      torch.from_numpy(np.array(y_a)).long(),
+                      torch.from_numpy(np.array(y_b)).long(),
+                      torch.from_numpy(np.array(lam_vec))))
+    assert min(float(m[3].min()) for m in mixes) < 0.95
+
+    sd = {k: v.clone().detach() for k, v in sd0.items()}
+    vis_params = []
+    for k, v in sd.items():
+        if k.startswith("visual."):
+            v.requires_grad_(True)
+            vis_params.append(v)
+    head = head0.clone().detach().requires_grad_(True)
+    logit_scale = sd["logit_scale"].clone().detach().requires_grad_(True)
+    opt = torch.optim.AdamW(
+        [{"params": vis_params, "lr": LR_BB},
+         {"params": [head, logit_scale], "lr": LR_HEAD}],
+        betas=(0.9, 0.999), eps=1e-8, weight_decay=WD)
+    t_losses = []
+    for i, (mx, y_a, y_b, lam) in enumerate(mixes):
+        for group, base in zip(opt.param_groups, (LR_BB, LR_HEAD)):
+            group["lr"] = _ref_lr(i, base)
+        opt.zero_grad()
+        feats = oracle_encode_image(sd, mx)
+        logits = logit_scale.exp() * (feats @ head.T)
+        ce_a = torch.nn.functional.cross_entropy(logits, y_a,
+                                                 reduction="none")
+        ce_b = torch.nn.functional.cross_entropy(logits, y_b,
+                                                 reduction="none")
+        loss = (lam * ce_a + (1.0 - lam) * ce_b).sum()  # SUM, not mean
+        loss.backward()
+        opt.step()
+        t_losses.append(loss.item())
+    t_sd = {k: v.detach().numpy() for k, v in sd.items()}
+
+    params, ls0 = torch_state_dict_to_params(
+        {k: v.clone() for k, v in sd0.items()},
+        vision_layers=LAYERS, text_layers=LAYERS)
+    model = CLIPModel(CFG, precision=FP32_PRECISION)
+    state, tx = create_train_state(
+        params, head0.numpy(), "saliencymix", lr_classifier=LR_HEAD,
+        lr_backbone=LR_BB, total_iter=N_STEPS, wd=WD,
+        logit_scale=ls0, warmup_iter=WARM)
+    step = steps_mod.make_mixing_step(model, tx, "saliencymix",
+                                      mix_prob=1.0, image_size=IMG)
+    batch = {"images": j_images, "labels": j_labels,
+             "source": jnp.zeros((B,), jnp.int32)}
+    j_losses = []
+    for k in step_keys:
+        state, loss = step(state, batch, k)
+        j_losses.append(float(loss))
+
+    # the summed criterion's losses are ~bsz x larger — rtol only
+    np.testing.assert_allclose(j_losses, t_losses, rtol=3e-4)
+    np.testing.assert_allclose(np.asarray(state.head),
+                               head.detach().numpy(), rtol=0, atol=3e-5)
+    j_sd = params_to_torch_state_dict(
+        jax.tree_util.tree_map(np.asarray, jax.device_get(state.model)),
+        float(state.logit_scale))
+    for k, ref in t_sd.items():
+        if k.startswith("visual."):
+            np.testing.assert_allclose(j_sd[k], ref, rtol=0, atol=3e-5,
+                                       err_msg=k)
+
+
+# ---------------------------------------------------------------------------
 # finetune-multitask: class head (scaled logits) + binary dataset-source
 # head (UNSCALED — the reference comments the scaling out,
 # utils/training.py:1035-1036), weighted sum loss, all heads +
