@@ -137,12 +137,15 @@ def label_params(params, method: str, locked_text: bool = False) -> Dict:
         vis = const("backbone")(params["visual"])
         vis["proj"] = "projector"
         if locked_text:
-            # --locked_text freezes the text tower (reference
-            # utils/optimizers.py:89-93)
+            # --locked_text freezes the text tower via lock_text_tower
+            # (utils/optimizers.py:12-19, incl. text_projection) — but the
+            # FLYP branch then re-enables BOTH projectors and appends them
+            # as the lr_projector group (:103-120), so text_projection
+            # still trains even with the tower locked.
             txt = const("frozen")(params["text"])
         else:
             txt = const("backbone")(params["text"])
-            txt["text_projection"] = "projector"
+        txt["text_projection"] = "projector"
         return _freeze_bn_stats(params, {"visual": vis, "text": txt})
 
     raise NotImplementedError(f"Method {method} not implemented.")

@@ -660,15 +660,25 @@ def test_fixmatch_trajectory_matches_torch():
 LR_PROJ = 5e-5
 
 
-def _train_torch_flyp(sd0, images, tokens):
+def _train_torch_flyp(sd0, images, tokens, locked_text=False):
+    """locked_text mirrors the reference quirk exactly: lock_text_tower
+    freezes the whole text tower INCLUDING text_projection, but the FLYP
+    branch then re-enables both projectors and appends them at
+    lr_projector (utils/optimizers.py:103-120) — so text_projection
+    trains even when the tower is locked."""
     sd = {k: v.clone().detach() for k, v in sd0.items()}
     backbone, projectors = [], []
     for k, v in sd.items():
         if k == "logit_scale":
             continue
+        if k in ("visual.proj", "text_projection"):
+            v.requires_grad_(True)
+            projectors.append(v)
+            continue
+        if locked_text and not k.startswith("visual."):
+            continue  # frozen text tower
         v.requires_grad_(True)
-        (projectors if k in ("visual.proj", "text_projection")
-         else backbone).append(v)
+        backbone.append(v)
     logit_scale = sd["logit_scale"].clone().detach().requires_grad_(True)
 
     opt = torch.optim.AdamW(
@@ -696,7 +706,7 @@ def _train_torch_flyp(sd0, images, tokens):
     return losses, final_sd, logit_scale.item()
 
 
-def _train_ours_flyp(sd0, images, tokens, head0):
+def _train_ours_flyp(sd0, images, tokens, head0, locked_text=False):
     params, ls0 = torch_state_dict_to_params(
         {k: v.clone() for k, v in sd0.items()},
         vision_layers=LAYERS, text_layers=LAYERS)
@@ -704,7 +714,8 @@ def _train_ours_flyp(sd0, images, tokens, head0):
     state, tx = create_train_state(
         params, head0.numpy(), "FLYP", lr_classifier=LR_HEAD,
         lr_backbone=LR_BB, lr_projector=LR_PROJ, total_iter=N_STEPS,
-        wd=WD, logit_scale=ls0, warmup_iter=WARM)
+        wd=WD, logit_scale=ls0, warmup_iter=WARM,
+        locked_text=locked_text)
     step = steps_mod.make_flyp_step(model, tx, image_size=IMG)
     batch = {
         "images": jnp.asarray(images.numpy()),
@@ -722,15 +733,17 @@ def _train_ours_flyp(sd0, images, tokens, head0):
     return losses, final_sd, float(state.logit_scale), np.asarray(state.head)
 
 
-def test_flyp_trajectory_matches_torch():
+@pytest.mark.parametrize("locked_text", [False, True])
+def test_flyp_trajectory_matches_torch(locked_text):
     sd0, images, _, head0 = _fixtures()
     g = torch.Generator().manual_seed(33)
     tokens = torch.randint(1, VOCAB - 1, (B, CTX), generator=g)
     tokens[:, CTX - 2] = VOCAB - 1   # EOT = highest id, fixed position
 
-    t_losses, t_sd, t_ls = _train_torch_flyp(sd0, images, tokens)
+    t_losses, t_sd, t_ls = _train_torch_flyp(sd0, images, tokens,
+                                             locked_text)
     j_losses, j_sd, j_ls, j_head = _train_ours_flyp(
-        sd0, images, tokens, head0)
+        sd0, images, tokens, head0, locked_text)
 
     np.testing.assert_allclose(j_losses, t_losses, rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(j_ls, t_ls, rtol=0, atol=1e-5)
@@ -741,10 +754,493 @@ def test_flyp_trajectory_matches_torch():
             continue
         np.testing.assert_allclose(j_sd[k], ref, rtol=0, atol=2e-5,
                                    err_msg=k)
-    for k in ("visual.proj", "text_projection",
-              "token_embedding.weight", "visual.conv1.weight"):
+    # text_projection trains even with the tower locked (the reference
+    # re-enables both projectors after lock_text_tower, :103-120)
+    for k in ("visual.proj", "text_projection", "visual.conv1.weight"):
         assert np.abs(t_sd[k] - sd0[k].numpy()).max() > 0, k
+    if locked_text:
+        np.testing.assert_array_equal(
+            t_sd["token_embedding.weight"],
+            sd0["token_embedding.weight"].numpy())
+    else:
+        assert np.abs(t_sd["token_embedding.weight"]
+                      - sd0["token_embedding.weight"].numpy()).max() > 0
 
     # the head is NOT an optimizer param in FLYP: it must stay
     # bit-identical (no phantom weight decay)
     np.testing.assert_array_equal(j_head, head0.numpy())
+
+
+# ---------------------------------------------------------------------------
+# Remaining mixing-family trajectories.  Same twin scheme as cutmix: the
+# jax augment op is replayed with the step's exact k_mix to hand the torch
+# twin the identical mixed batches, then both frameworks train end-to-end
+# and must agree on losses and every trained weight.
+#
+# mixup      reference train_mixup      utils/training.py:1164-1278
+# resizemix  reference train_resizemix  :2309-2455
+# mixup-fs   reference train_mixup_fs   :1281-1401 (0-or-1 lambda: with
+#            prob mix_prob the few-shot batch replaces the retrieved one)
+# CMO        reference train_CMO        :1865-2005 (box pasted from the
+#            inverse-frequency-sampled second batch)
+# All use the MEAN mixup_criterion (utils/training.py:1157-1158).
+
+
+def _train_torch_mixing_twin(sd0, head0, mixes):
+    """Torch finetune loop on pre-mixed batches: visual@lr_backbone,
+    head+logit_scale@lr_classifier (set_params utils/optimizers.py:62-81),
+    mean mixup_criterion."""
+    sd = {k: v.clone().detach() for k, v in sd0.items()}
+    vis_params = []
+    for k, v in sd.items():
+        if k.startswith("visual."):
+            v.requires_grad_(True)
+            vis_params.append(v)
+    head = head0.clone().detach().requires_grad_(True)
+    logit_scale = sd["logit_scale"].clone().detach().requires_grad_(True)
+    opt = torch.optim.AdamW(
+        [{"params": vis_params, "lr": LR_BB},
+         {"params": [head, logit_scale], "lr": LR_HEAD}],
+        betas=(0.9, 0.999), eps=1e-8, weight_decay=WD)
+    losses = []
+    for i, (mx, y_a, y_b, lam) in enumerate(mixes):
+        for group, base in zip(opt.param_groups, (LR_BB, LR_HEAD)):
+            group["lr"] = _ref_lr(i, base)
+        opt.zero_grad()
+        feats = oracle_encode_image(sd, mx)
+        logits = logit_scale.exp() * (feats @ head.T)
+        loss = (lam * torch.nn.functional.cross_entropy(logits, y_a)
+                + (1.0 - lam)
+                * torch.nn.functional.cross_entropy(logits, y_b))
+        loss.backward()
+        opt.step()
+        losses.append(loss.item())
+    return (losses, {k: v.detach().numpy() for k, v in sd.items()},
+            head.detach().numpy(), logit_scale.item())
+
+
+def _assert_mixing_twin(method, state, j_losses, t_losses, t_sd, t_head,
+                        t_ls, sd0):
+    np.testing.assert_allclose(j_losses, t_losses, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(float(state.logit_scale), t_ls,
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(state.head), t_head,
+                               rtol=0, atol=2e-5)
+    model_np = jax.tree_util.tree_map(np.asarray,
+                                      jax.device_get(state.model))
+    j_sd = params_to_torch_state_dict(model_np, float(state.logit_scale))
+    for k, ref in t_sd.items():
+        if k == "logit_scale":
+            continue
+        if k.startswith("visual."):
+            np.testing.assert_allclose(j_sd[k], ref, rtol=0, atol=2e-5,
+                                       err_msg=f"{method}: {k}")
+        else:   # text tower bit-frozen (lock_text_tower)
+            np.testing.assert_array_equal(j_sd[k], sd0[k].numpy(),
+                                          err_msg=f"{method}: {k}")
+
+
+@pytest.mark.parametrize("method", ["mixup", "resizemix"])
+def test_scalar_mixing_trajectory_matches_torch(method):
+    from swat_tpu.kernels import augment as aug
+
+    sd0, images, labels, head0 = _fixtures()
+    step_keys = [jax.random.fold_in(jax.random.PRNGKey(17), i)
+                 for i in range(N_STEPS)]
+    j_images = jnp.asarray(images.numpy())
+    j_labels = jnp.asarray(labels.numpy())
+    # mix_prob=0.5 exercises BOTH gate branches across the trajectory
+    mixes = []
+    for k in step_keys:
+        k_mix = jax.random.split(k, 3)[2]
+        if method == "mixup":
+            mixed, y_a, y_b, lam = aug.mixup(j_images, j_labels, k_mix,
+                                             1.0, 0.5)
+        else:
+            mixed, y_a, y_b, lam = aug.resizemix(j_images, j_labels,
+                                                 k_mix, 0.5)
+        mixes.append((torch.from_numpy(np.array(mixed)),
+                      torch.from_numpy(np.array(y_a)).long(),
+                      torch.from_numpy(np.array(y_b)).long(),
+                      float(lam)))
+    lams = [m[3] for m in mixes]
+    assert min(lams) < 0.95, "mixing never engaged"
+    assert max(lams) == 1.0, "identity branch never taken"
+
+    t_losses, t_sd, t_head, t_ls = _train_torch_mixing_twin(
+        sd0, head0, mixes)
+
+    params, ls0 = torch_state_dict_to_params(
+        {k: v.clone() for k, v in sd0.items()},
+        vision_layers=LAYERS, text_layers=LAYERS)
+    model = CLIPModel(CFG, precision=FP32_PRECISION)
+    state, tx = create_train_state(
+        params, head0.numpy(), method, lr_classifier=LR_HEAD,
+        lr_backbone=LR_BB, total_iter=N_STEPS, wd=WD,
+        logit_scale=ls0, warmup_iter=WARM)
+    step = steps_mod.make_mixing_step(model, tx, method,
+                                      mix_prob=0.5, image_size=IMG)
+    batch = {"images": j_images, "labels": j_labels,
+             "source": jnp.zeros((B,), jnp.int32)}
+    j_losses = []
+    for k in step_keys:
+        state, loss = step(state, batch, k)
+        j_losses.append(float(loss))
+
+    _assert_mixing_twin(method, state, j_losses, t_losses, t_sd,
+                        t_head, t_ls, sd0)
+
+
+@pytest.mark.parametrize("method", ["mixup-fs", "CMO"])
+def test_twinbatch_mixing_trajectory_matches_torch(method):
+    from swat_tpu.kernels import augment as aug
+
+    sd0, images, labels, head0 = _fixtures()
+    g = torch.Generator().manual_seed(55)
+    images_fs = torch.randn(B, IMG, IMG, 3, generator=g)
+    labels_fs = torch.randint(0, C, (B,), generator=g)
+    j_images = jnp.asarray(images.numpy())
+    j_labels = jnp.asarray(labels.numpy())
+    j_images_fs = jnp.asarray(images_fs.numpy())
+    j_labels_fs = jnp.asarray(labels_fs.numpy())
+
+    step_keys = [jax.random.fold_in(jax.random.PRNGKey(23), i)
+                 for i in range(N_STEPS)]
+    mixes = []
+    for k in step_keys:
+        k_mix = jax.random.split(k, 3)[2]
+        if method == "mixup-fs":
+            mixed, y_a, y_b, lam = aug.mixup_fs(
+                j_images, j_labels, j_images_fs, j_labels_fs, k_mix,
+                1.0, 0.5)
+        else:
+            mixed, y_a, y_b, lam = aug.cutmix_from(
+                j_images, j_labels, j_images_fs, j_labels_fs, k_mix,
+                1.0, 0.5)
+        mixes.append((torch.from_numpy(np.array(mixed)),
+                      torch.from_numpy(np.array(y_a)).long(),
+                      torch.from_numpy(np.array(y_b)).long(),
+                      float(lam)))
+    lams = [m[3] for m in mixes]
+    assert min(lams) < 0.95, "twin-batch mixing never engaged"
+    assert max(lams) == 1.0, "identity branch never taken"
+
+    t_losses, t_sd, t_head, t_ls = _train_torch_mixing_twin(
+        sd0, head0, mixes)
+
+    params, ls0 = torch_state_dict_to_params(
+        {k: v.clone() for k, v in sd0.items()},
+        vision_layers=LAYERS, text_layers=LAYERS)
+    model = CLIPModel(CFG, precision=FP32_PRECISION)
+    state, tx = create_train_state(
+        params, head0.numpy(), method, lr_classifier=LR_HEAD,
+        lr_backbone=LR_BB, total_iter=N_STEPS, wd=WD,
+        logit_scale=ls0, warmup_iter=WARM)
+    step = steps_mod.make_mixing_step(model, tx, method,
+                                      mix_prob=0.5, image_size=IMG)
+    batch = {"images": j_images, "labels": j_labels,
+             "source": jnp.zeros((B,), jnp.int32),
+             "images_fs": j_images_fs, "labels_fs": j_labels_fs,
+             "source_fs": jnp.ones((B,), jnp.int32)}
+    j_losses = []
+    for k in step_keys:
+        state, loss = step(state, batch, k)
+        j_losses.append(float(loss))
+
+    _assert_mixing_twin(method, state, j_losses, t_losses, t_sd,
+                        t_head, t_ls, sd0)
+
+
+# ---------------------------------------------------------------------------
+# finetune-mixed + WeightedCE: retrieved batch concatenated with the cycled
+# few-shot twin batch, per-sample CE scaled by the source flag
+# (fewshot_weight for source==1, 1.0 for retrieved) and MEAN-reduced over
+# the CONCATENATED batch (reference train_ce_mixed utils/training.py:
+# 692-816, WeightedCELoss utils/losses.py:74-96).
+
+
+def test_ce_mixed_weightedce_trajectory_matches_torch():
+    from swat_tpu.train.losses import make_weighted_ce
+
+    FS_W = 2.0
+    sd0, images, labels, head0 = _fixtures()
+    g = torch.Generator().manual_seed(77)
+    images_fs = torch.randn(B, IMG, IMG, 3, generator=g)
+    labels_fs = torch.randint(0, C, (B,), generator=g)
+
+    sd = {k: v.clone().detach() for k, v in sd0.items()}
+    vis_params = []
+    for k, v in sd.items():
+        if k.startswith("visual."):
+            v.requires_grad_(True)
+            vis_params.append(v)
+    head = head0.clone().detach().requires_grad_(True)
+    logit_scale = sd["logit_scale"].clone().detach().requires_grad_(True)
+    opt = torch.optim.AdamW(
+        [{"params": vis_params, "lr": LR_BB},
+         {"params": [head, logit_scale], "lr": LR_HEAD}],
+        betas=(0.9, 0.999), eps=1e-8, weight_decay=WD)
+    cat_images = torch.cat([images, images_fs], dim=0)
+    cat_labels = torch.cat([labels, labels_fs], dim=0)
+    weights = torch.cat([torch.ones(B), torch.full((B,), FS_W)])
+    t_losses = []
+    for i in range(N_STEPS):
+        for group, base in zip(opt.param_groups, (LR_BB, LR_HEAD)):
+            group["lr"] = _ref_lr(i, base)
+        opt.zero_grad()
+        feats = oracle_encode_image(sd, cat_images)
+        logits = logit_scale.exp() * (feats @ head.T)
+        per = torch.nn.functional.cross_entropy(logits, cat_labels,
+                                                reduction="none")
+        loss = (per * weights).mean()
+        loss.backward()
+        opt.step()
+        t_losses.append(loss.item())
+    t_sd = {k: v.detach().numpy() for k, v in sd.items()}
+
+    params, ls0 = torch_state_dict_to_params(
+        {k: v.clone() for k, v in sd0.items()},
+        vision_layers=LAYERS, text_layers=LAYERS)
+    model = CLIPModel(CFG, precision=FP32_PRECISION)
+    state, tx = create_train_state(
+        params, head0.numpy(), "finetune-mixed", lr_classifier=LR_HEAD,
+        lr_backbone=LR_BB, total_iter=N_STEPS, wd=WD,
+        logit_scale=ls0, warmup_iter=WARM)
+    step = steps_mod.make_ce_step(model, tx, loss=make_weighted_ce(FS_W),
+                                  concat_fs=True, image_size=IMG)
+    batch = {"images": jnp.asarray(images.numpy()),
+             "labels": jnp.asarray(labels.numpy()),
+             "source": jnp.zeros((B,), jnp.int32),
+             "images_fs": jnp.asarray(images_fs.numpy()),
+             "labels_fs": jnp.asarray(labels_fs.numpy()),
+             "source_fs": jnp.ones((B,), jnp.int32)}
+    key = jax.random.PRNGKey(0)   # unused: batch carries images directly
+    j_losses = []
+    for _ in range(N_STEPS):
+        state, loss = step(state, batch, key)
+        j_losses.append(float(loss))
+
+    _assert_mixing_twin("finetune-mixed", state, j_losses, t_losses,
+                        t_sd, head.detach().numpy(), logit_scale.item(),
+                        sd0)
+
+
+# ---------------------------------------------------------------------------
+# dataset-cls: binary retrieved-vs-fewshot classification — the SOURCE flag
+# is the label, logits ARE scaled by logit_scale.exp() (reference
+# train_dataset_cls utils/training.py:609-614), visual tower +
+# 2-class head + logit_scale trained as usual.
+
+
+def test_dataset_cls_trajectory_matches_torch():
+    sd0, images, _, _ = _fixtures()
+    g = torch.Generator().manual_seed(99)
+    source = torch.randint(0, 2, (B,), generator=g)
+    head0 = torch.randn(2, EMBED, generator=g) * 0.05
+    assert source.min() == 0 and source.max() == 1
+
+    sd = {k: v.clone().detach() for k, v in sd0.items()}
+    vis_params = []
+    for k, v in sd.items():
+        if k.startswith("visual."):
+            v.requires_grad_(True)
+            vis_params.append(v)
+    head = head0.clone().detach().requires_grad_(True)
+    logit_scale = sd["logit_scale"].clone().detach().requires_grad_(True)
+    opt = torch.optim.AdamW(
+        [{"params": vis_params, "lr": LR_BB},
+         {"params": [head, logit_scale], "lr": LR_HEAD}],
+        betas=(0.9, 0.999), eps=1e-8, weight_decay=WD)
+    t_losses = []
+    for i in range(N_STEPS):
+        for group, base in zip(opt.param_groups, (LR_BB, LR_HEAD)):
+            group["lr"] = _ref_lr(i, base)
+        opt.zero_grad()
+        feats = oracle_encode_image(sd, images)
+        logits = logit_scale.exp() * (feats @ head.T)
+        loss = torch.nn.functional.cross_entropy(logits, source)
+        loss.backward()
+        opt.step()
+        t_losses.append(loss.item())
+    t_sd = {k: v.detach().numpy() for k, v in sd.items()}
+
+    params, ls0 = torch_state_dict_to_params(
+        {k: v.clone() for k, v in sd0.items()},
+        vision_layers=LAYERS, text_layers=LAYERS)
+    model = CLIPModel(CFG, precision=FP32_PRECISION)
+    state, tx = create_train_state(
+        params, head0.numpy(), "dataset-cls", lr_classifier=LR_HEAD,
+        lr_backbone=LR_BB, total_iter=N_STEPS, wd=WD,
+        logit_scale=ls0, warmup_iter=WARM)
+    step = steps_mod.make_dataset_cls_step(model, tx, image_size=IMG)
+    batch = {"images": jnp.asarray(images.numpy()),
+             "labels": jnp.zeros((B,), jnp.int32),   # unused by the step
+             "source": jnp.asarray(source.numpy())}
+    key = jax.random.PRNGKey(0)
+    j_losses = []
+    for _ in range(N_STEPS):
+        state, loss = step(state, batch, key)
+        j_losses.append(float(loss))
+
+    _assert_mixing_twin("dataset-cls", state, j_losses, t_losses,
+                        t_sd, head.detach().numpy(), logit_scale.item(),
+                        sd0)
+
+
+# ---------------------------------------------------------------------------
+# cutmix-fs (reference train_cutmix_fs2 utils/training.py:1701-1862): the
+# few-shot batch is CONCATENATED onto the retrieved batch and a single
+# cutmix runs over the combined batch — scalar lambda, MEAN criterion
+# (unlike CMO, which pastes FROM the second batch).
+
+
+def test_cutmix_fs_trajectory_matches_torch():
+    from swat_tpu.kernels import augment as aug
+
+    sd0, images, labels, head0 = _fixtures()
+    g = torch.Generator().manual_seed(91)
+    images_fs = torch.randn(B, IMG, IMG, 3, generator=g)
+    labels_fs = torch.randint(0, C, (B,), generator=g)
+    j_cat_images = jnp.concatenate([jnp.asarray(images.numpy()),
+                                    jnp.asarray(images_fs.numpy())], axis=0)
+    j_cat_labels = jnp.concatenate([jnp.asarray(labels.numpy()),
+                                    jnp.asarray(labels_fs.numpy())], axis=0)
+
+    step_keys = [jax.random.fold_in(jax.random.PRNGKey(29), i)
+                 for i in range(N_STEPS)]
+    mixes = []
+    for k in step_keys:
+        k_mix = jax.random.split(k, 3)[2]
+        mixed, y_a, y_b, lam = aug.cutmix(j_cat_images, j_cat_labels,
+                                          k_mix, 1.0, 0.5)
+        mixes.append((torch.from_numpy(np.array(mixed)),
+                      torch.from_numpy(np.array(y_a)).long(),
+                      torch.from_numpy(np.array(y_b)).long(),
+                      float(lam)))
+    lams = [m[3] for m in mixes]
+    assert min(lams) < 0.95, "cutmix over the concat batch never engaged"
+    assert max(lams) == 1.0, "identity branch never taken"
+
+    t_losses, t_sd, t_head, t_ls = _train_torch_mixing_twin(
+        sd0, head0, mixes)
+
+    params, ls0 = torch_state_dict_to_params(
+        {k: v.clone() for k, v in sd0.items()},
+        vision_layers=LAYERS, text_layers=LAYERS)
+    model = CLIPModel(CFG, precision=FP32_PRECISION)
+    state, tx = create_train_state(
+        params, head0.numpy(), "cutmix-fs", lr_classifier=LR_HEAD,
+        lr_backbone=LR_BB, total_iter=N_STEPS, wd=WD,
+        logit_scale=ls0, warmup_iter=WARM)
+    step = steps_mod.make_mixing_step(model, tx, "cutmix-fs",
+                                      mix_prob=0.5, image_size=IMG)
+    batch = {"images": jnp.asarray(images.numpy()),
+             "labels": jnp.asarray(labels.numpy()),
+             "source": jnp.zeros((B,), jnp.int32),
+             "images_fs": jnp.asarray(images_fs.numpy()),
+             "labels_fs": jnp.asarray(labels_fs.numpy()),
+             "source_fs": jnp.ones((B,), jnp.int32)}
+    j_losses = []
+    for k in step_keys:
+        state, loss = step(state, batch, k)
+        j_losses.append(float(loss))
+
+    _assert_mixing_twin("cutmix-fs", state, j_losses, t_losses, t_sd,
+                        t_head, t_ls, sd0)
+
+
+# ---------------------------------------------------------------------------
+# attentivemix (reference train_attentivemix2 utils/training.py:2672-2831):
+# boxes centered on the peak of a model heatmap, per-image lambdas, SUMMED
+# lam-vector criterion.  The heatmap comes from the LIVE training model
+# (the TPU-native GEM replacement, swat_tpu/eval/heatmap.py), so the twin
+# runs in lockstep: each step's mixed batch is recorded from the current
+# jax params (exactly what the jitted step computes internally, behind
+# stop_gradient) and the torch twin trains on those recorded batches.
+
+
+def test_attentivemix_trajectory_matches_torch():
+    from swat_tpu.eval.heatmap import clip_attention_heatmap
+    from swat_tpu.kernels import augment as aug
+
+    sd0, images, labels, head0 = _fixtures()
+    j_images = jnp.asarray(images.numpy())
+    j_labels = jnp.asarray(labels.numpy())
+    step_keys = [jax.random.fold_in(jax.random.PRNGKey(37), i)
+                 for i in range(N_STEPS)]
+
+    params, ls0 = torch_state_dict_to_params(
+        {k: v.clone() for k, v in sd0.items()},
+        vision_layers=LAYERS, text_layers=LAYERS)
+    model = CLIPModel(CFG, precision=FP32_PRECISION)
+    state, tx = create_train_state(
+        params, head0.numpy(), "attentivemix", lr_classifier=LR_HEAD,
+        lr_backbone=LR_BB, total_iter=N_STEPS, wd=WD,
+        logit_scale=ls0, warmup_iter=WARM)
+
+    def heatmap_fn(p, x):
+        return clip_attention_heatmap(model, p, x)
+
+    step = steps_mod.make_mixing_step(model, tx, "attentivemix",
+                                      mix_prob=1.0, heatmap_fn=heatmap_fn,
+                                      image_size=IMG)
+    batch = {"images": j_images, "labels": j_labels,
+             "source": jnp.zeros((B,), jnp.int32)}
+
+    sd = {k: v.clone().detach() for k, v in sd0.items()}
+    vis_params = []
+    for k, v in sd.items():
+        if k.startswith("visual."):
+            v.requires_grad_(True)
+            vis_params.append(v)
+    head = head0.clone().detach().requires_grad_(True)
+    logit_scale = sd["logit_scale"].clone().detach().requires_grad_(True)
+    opt = torch.optim.AdamW(
+        [{"params": vis_params, "lr": LR_BB},
+         {"params": [head, logit_scale], "lr": LR_HEAD}],
+        betas=(0.9, 0.999), eps=1e-8, weight_decay=WD)
+
+    j_losses, t_losses = [], []
+    min_lam = 1.0
+    for i, k in enumerate(step_keys):
+        k_mix = jax.random.split(k, 3)[2]
+        hm = heatmap_fn(jax.device_put(state.model), j_images)
+        mixed, y_a, y_b, lam_vec = aug.attentivemix(
+            j_images, j_labels, hm, k_mix, 1.0, 1.0)
+        mx = torch.from_numpy(np.array(mixed))
+        ty_a = torch.from_numpy(np.array(y_a)).long()
+        ty_b = torch.from_numpy(np.array(y_b)).long()
+        tlam = torch.from_numpy(np.array(lam_vec))
+        min_lam = min(min_lam, float(tlam.min()))
+
+        for group, base in zip(opt.param_groups, (LR_BB, LR_HEAD)):
+            group["lr"] = _ref_lr(i, base)
+        opt.zero_grad()
+        feats = oracle_encode_image(sd, mx)
+        logits = logit_scale.exp() * (feats @ head.T)
+        ce_a = torch.nn.functional.cross_entropy(logits, ty_a,
+                                                 reduction="none")
+        ce_b = torch.nn.functional.cross_entropy(logits, ty_b,
+                                                 reduction="none")
+        t_loss = (tlam * ce_a + (1.0 - tlam) * ce_b).sum()  # SUM, not mean
+        t_loss.backward()
+        opt.step()
+        t_losses.append(t_loss.item())
+
+        state, loss = step(state, batch, k)
+        j_losses.append(float(loss))
+
+    assert min_lam < 0.95, "attentive boxes never engaged"
+    t_sd = {k: v.detach().numpy() for k, v in sd.items()}
+
+    # summed criterion: losses ~bsz x larger — rtol only
+    np.testing.assert_allclose(j_losses, t_losses, rtol=3e-4)
+    np.testing.assert_allclose(np.asarray(state.head),
+                               head.detach().numpy(), rtol=0, atol=3e-5)
+    j_sd = params_to_torch_state_dict(
+        jax.tree_util.tree_map(np.asarray, jax.device_get(state.model)),
+        float(state.logit_scale))
+    for k, ref in t_sd.items():
+        if k.startswith("visual."):
+            np.testing.assert_allclose(j_sd[k], ref, rtol=0, atol=3e-5,
+                                       err_msg=k)
