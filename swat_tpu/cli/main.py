@@ -30,6 +30,19 @@ def str2bool(v):
     raise argparse.ArgumentTypeError("Boolean value expected.")
 
 
+def str2remat(v):
+    """--remat accepts booleans plus the selective checkpoint policies
+    ('full' == True; 'dots' / 'dots_all' save matmul outputs, see
+    models.clip.resolve_remat_policy)."""
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("dots", "dots_all"):
+        return v.lower()
+    if v.lower() == "full":
+        return True
+    return str2bool(v)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="swat-tpu")
 
@@ -152,7 +165,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--aug_mode", type=str, default="canvas",
                    choices=["canvas", "host"])
     p.add_argument("--use_pallas", default=False, type=str2bool)
-    p.add_argument("--remat", default=False, type=str2bool)
+    p.add_argument("--remat", default=False, type=str2remat,
+                   help="False | True/full (checkpoint whole blocks) | "
+                        "dots (save projection matmuls, recompute "
+                        "attention+elementwise) | dots_all (save every "
+                        "matmul incl. attention scores)")
     p.add_argument("--resident", type=str, default="auto",
                    choices=["auto", "on", "off"],
                    help="whole-epoch-on-device scan execution: auto picks "

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import List, Optional, Tuple
+from typing import List, Optional, Tuple, Union
 
 from swat_tpu.data.registry import NUM_CLASSES_DICT
 
@@ -117,7 +117,7 @@ class RunConfig:
     mesh_model: int = 1                       # tensor-parallel axis size
     aug_mode: str = "canvas"                  # 'canvas' (device) | 'host'
     use_pallas: bool = False
-    remat: bool = False
+    remat: Union[bool, str] = False  # False | True("full") | "dots" | "dots_all"
     compute_dtype: str = "float32"            # reference parity default
     # resident-dataset scan execution: whole epoch / whole eval as one
     # device program (swat_tpu.train.scan_loop)

@@ -140,6 +140,39 @@ class Block(nn.Module):
         return x, None
 
 
+def resolve_remat_policy(remat):
+    """Map the remat flag to (enabled, jax.checkpoint policy).
+
+    False          -> no remat
+    True / 'full'  -> checkpoint everything (recompute the whole block on
+                      the backward pass; smallest memory, most recompute)
+    'dots'         -> save non-batched matmul outputs (qkv/out/fc/proj
+                      projections) and recompute only elementwise ops and
+                      the batched attention scores/softmax
+                      (jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    'dots_all'     -> save every matmul output including the batched
+                      attention score matrices (dots_saveable; largest
+                      memory of the remat modes, least recompute)
+
+    The selective modes trade a little HBM for skipping most of full
+    remat's recompute — the lever for L/14 single-chip training, which
+    needs remat at bsz>=64 (16.5G > 15.75G HBM) but loses ~25% nominal
+    MFU to full-block recompute.
+    """
+    if not remat:
+        return False, None
+    if remat is True or remat == "full":
+        return True, None
+    policies = {
+        "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        "dots_all": jax.checkpoint_policies.dots_saveable,
+    }
+    if remat not in policies:
+        raise ValueError(
+            f"remat must be bool, 'full', 'dots' or 'dots_all'; got {remat!r}")
+    return True, policies[remat]
+
+
 class Transformer(nn.Module):
     width: int
     layers: int
@@ -147,7 +180,7 @@ class Transformer(nn.Module):
     causal: bool = False
     quick_gelu: bool = True
     precision: Precision = DEFAULT_PRECISION
-    remat: bool = False
+    remat: Any = False
     use_pallas: bool = False
     # lax.scan unroll factor for the layer loop. Parameters stay stacked
     # (checkpoint layout is unchanged) but the loop body is replicated,
@@ -159,8 +192,9 @@ class Transformer(nn.Module):
     @nn.compact
     def __call__(self, x):
         block_cls = Block
-        if self.remat:
-            block_cls = nn.remat(Block, prevent_cse=False)
+        enabled, policy = resolve_remat_policy(self.remat)
+        if enabled:
+            block_cls = nn.remat(Block, prevent_cse=False, policy=policy)
         unroll = self.unroll if self.unroll > 0 else self.layers
         scan = nn.scan(
             block_cls,
@@ -179,7 +213,7 @@ class Transformer(nn.Module):
 class VisionTower(nn.Module):
     cfg: VisionConfig
     precision: Precision = DEFAULT_PRECISION
-    remat: bool = False
+    remat: Any = False
     use_pallas: bool = False
     unroll: int = 1
 
@@ -239,7 +273,7 @@ class VisionTower(nn.Module):
 class TextTower(nn.Module):
     cfg: TextConfig
     precision: Precision = DEFAULT_PRECISION
-    remat: bool = False
+    remat: Any = False
     use_pallas: bool = False
     unroll: int = 1
 
@@ -285,7 +319,7 @@ class CLIPModel(nn.Module):
 
     cfg: CLIPConfig
     precision: Precision = DEFAULT_PRECISION
-    remat: bool = False
+    remat: Any = False
     use_pallas: bool = False
     unroll: int = 0   # 0 = fully unroll the layer loop (fastest bwd)
 

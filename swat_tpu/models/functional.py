@@ -34,6 +34,12 @@ from swat_tpu.kernels.attention import attention_heads_last
 from swat_tpu.models.configs import TextConfig, VisionConfig
 
 
+def _resolve_remat(remat):
+    from swat_tpu.models.clip import resolve_remat_policy
+
+    return resolve_remat_policy(remat)
+
+
 # mesh for shard_map-wrapped pallas inference kernels on multi-device
 # runs (set once by the pipeline; plumbing a Mesh through the frozen flax
 # module tree would churn every construction site)
@@ -131,7 +137,7 @@ def _block(p, x, heads: int, quick_gelu: bool, causal: bool,
 
 
 def _transformer(p, x, heads: int, layers: int, quick_gelu: bool,
-                 causal: bool, precision: Precision, remat: bool = False,
+                 causal: bool, precision: Precision, remat: Any = False,
                  use_pallas: bool = False, use_mega: bool = False):
     if use_mega:
         from swat_tpu.kernels.megablock import fused_transformer
@@ -141,8 +147,10 @@ def _transformer(p, x, heads: int, layers: int, quick_gelu: bool,
             causal=causal, compute_dtype=precision.compute_dtype)
     blocks = p["blocks"]
     body = _block
-    if remat:
-        body = jax.checkpoint(_block, static_argnums=(2, 3, 4, 5, 6))
+    enabled, policy = _resolve_remat(remat)
+    if enabled:
+        body = jax.checkpoint(_block, static_argnums=(2, 3, 4, 5, 6),
+                              policy=policy)
     for i in range(layers):
         layer = jax.tree_util.tree_map(lambda a: a[i], blocks)
         x = body(layer, x, heads, quick_gelu, causal, precision, use_pallas)
@@ -151,7 +159,7 @@ def _transformer(p, x, heads: int, layers: int, quick_gelu: bool,
 
 def vit_encode_image(p, images, cfg: VisionConfig, precision: Precision,
                      pool: bool = True, normalize: bool = False,
-                     remat: bool = False, use_pallas: bool = False,
+                     remat: Any = False, use_pallas: bool = False,
                      use_mega: bool = False):
     """Same math as clip.VisionTower.__call__ on params['visual']."""
     patch = cfg.patch_size
@@ -185,7 +193,7 @@ def vit_encode_image(p, images, cfg: VisionConfig, precision: Precision,
 
 
 def text_encode(p, token_ids, cfg: TextConfig, precision: Precision,
-                normalize: bool = False, remat: bool = False,
+                normalize: bool = False, remat: Any = False,
                 use_pallas: bool = False, use_mega: bool = False):
     """Same math as clip.TextTower.__call__ on params['text']."""
     cd = precision.compute_dtype

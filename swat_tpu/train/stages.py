@@ -96,8 +96,10 @@ class SwatPipeline:
             # bsz-32 config fits without remat
             self.logger.warning(
                 "ViT-L/14 training at bsz>=64 on one chip usually "
-                "exceeds HBM — pass --remat True (or shard with "
-                "--mesh_data) if compilation reports out-of-memory.")
+                "exceeds HBM — pass --remat dots (selective checkpoint; "
+                "fastest mode that fits, scripts/ablate_remat.py), "
+                "--remat True, or shard with --mesh_data if compilation "
+                "reports out-of-memory.")
 
         # ---- pretrained weights (reference set_model, utils/models.py:11)
         if cfg.checkpoint_path:

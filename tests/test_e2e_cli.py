@@ -160,6 +160,16 @@ def test_cli_parse_matches_reference_flags(dataset_dir, tmp_path):
                             "--resident_budget_bytes", "123"])
     assert cfg_off.resident == "off"
     assert cfg_off.resident_budget_bytes == 123
+    # --remat accepts booleans and the selective checkpoint policies
+    assert parse_config(["--dataset", "semi-aves"]).remat is False
+    assert parse_config(["--dataset", "semi-aves",
+                         "--remat", "True"]).remat is True
+    assert parse_config(["--dataset", "semi-aves",
+                         "--remat", "full"]).remat is True
+    assert parse_config(["--dataset", "semi-aves",
+                         "--remat", "dots"]).remat == "dots"
+    assert parse_config(["--dataset", "semi-aves",
+                         "--remat", "dots_all"]).remat == "dots_all"
 
 
 def test_resident_off_matches_streaming_learning(dataset_dir, tmp_path):

@@ -95,16 +95,53 @@ def test_gradients_match_flax():
                                    rtol=1e-5, atol=1e-6)
 
 
-def test_remat_matches():
-    model = CLIPModel(CFG, remat=True)
+@pytest.mark.parametrize("mode", [True, "dots", "dots_all"])
+def test_remat_matches(mode):
+    model = CLIPModel(CFG, remat=mode)
     params = _init(model)
     images = jax.random.normal(jax.random.PRNGKey(5), (2, 32, 32, 3))
     base = F.vit_encode_image(params["visual"], images, CFG.vision,
                               model.precision, remat=False)
     rem = F.vit_encode_image(params["visual"], images, CFG.vision,
-                             model.precision, remat=True)
+                             model.precision, remat=mode)
     np.testing.assert_allclose(np.asarray(rem), np.asarray(base),
                                rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("mode", [True, "dots", "dots_all"])
+def test_remat_gradients_match(mode):
+    """Every remat policy must differentiate to the SAME gradients as the
+    un-rematerialized forward (fp32 exactness) — a wrong `policy` arg
+    would silently change training, not crash."""
+    model = CLIPModel(CFG, precision=FP32_PRECISION)
+    params = _init(model)
+    images = jax.random.normal(jax.random.PRNGKey(6), (2, 32, 32, 3))
+
+    def make_loss(remat):
+        def loss_fn(p):
+            f = F.vit_encode_image(p["visual"], images, CFG.vision,
+                                   FP32_PRECISION, normalize=True,
+                                   remat=remat)
+            return jnp.sum(f * f)
+        return loss_fn
+
+    v0, g0 = jax.value_and_grad(make_loss(False))(params)
+    v1, g1 = jax.value_and_grad(make_loss(mode))(params)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_remat_rejects_unknown_policy():
+    from swat_tpu.models.clip import resolve_remat_policy
+
+    with pytest.raises(ValueError):
+        resolve_remat_policy("bogus")
+    assert resolve_remat_policy(False) == (False, None)
+    assert resolve_remat_policy(True) == (True, None)
+    assert resolve_remat_policy("full") == (True, None)
 
 
 def test_resnet_falls_back_to_flax():
