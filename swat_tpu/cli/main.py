@@ -107,7 +107,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--skip_stage2", default=False, action="store_true")
     p.add_argument("--stage1_model_path", default=None, type=str)
     p.add_argument("--attentive_threshold", type=float, default=0.85)
-    p.add_argument("--attentive_name", type=str, default="c-name")
+    p.add_argument("--attentive_name", type=str, default="c-name",
+                   choices=["general", "c-name", "s-name"])
     p.add_argument("--cutmix_beta", type=float, default=1.0)
     p.add_argument("--cmo_alpha", type=float, default=1.0)
     p.add_argument("--recal_prompt", action="store_true")

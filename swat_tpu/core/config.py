@@ -60,6 +60,11 @@ class RunConfig:
     skip_stage1: bool = False
     skip_stage2: bool = False
     stage1_model_path: Optional[str] = None
+    # attentive_threshold is accepted for flag parity; the dispatched
+    # attentivemix variant (train_attentivemix2, utils/training.py:2685)
+    # reads it but never uses it — only the dormant mask variant does.
+    # attentive_name picks the per-class localization text for the
+    # heatmap bank (general/'bird' | c-name | s-name, :2717-2731).
     attentive_threshold: float = 0.85
     attentive_name: str = "c-name"
 

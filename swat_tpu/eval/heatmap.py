@@ -27,3 +27,27 @@ def clip_attention_heatmap(model: CLIPModel, params, images) -> jnp.ndarray:
     b, s = sim.shape
     g = int(round(s ** 0.5))
     return sim.reshape(b, g, g)
+
+
+def clip_text_heatmap(model: CLIPModel, params, images,
+                      text_embeds) -> jnp.ndarray:
+    """GEM-style text-conditioned localization map.
+
+    The reference's AttentiveMix hands GEM a per-image localization text
+    chosen by --attentive_name (the class's common/scientific name or the
+    generic 'bird', utils/training.py:2717-2731) and takes the heatmap of
+    that text over the image.  Here: cosine similarity between each
+    projected patch token and the per-image text embedding.
+
+    images [B, H, W, 3] (normalized), text_embeds [B, D] (normalized,
+    from a frozen text-tower bank) -> heatmaps [B, gh, gw] in [-1, 1].
+    """
+    tokens = model.apply({"params": params}, images,
+                         method=CLIPModel.encode_image_tokens)
+    tokens = tokens / jnp.linalg.norm(tokens, axis=-1, keepdims=True)
+    patches = tokens[:, 1:]                  # [B, S-1, D]
+    sim = jnp.einsum("bd,bsd->bs",
+                     jnp.asarray(text_embeds, tokens.dtype), patches)
+    b, s = sim.shape
+    g = int(round(s ** 0.5))
+    return sim.reshape(b, g, g)

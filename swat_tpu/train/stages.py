@@ -727,17 +727,73 @@ class SwatPipeline:
         return post
 
     def _heatmap_fn(self):
-        """CLIP attention-map heatmap for attentivemix — the TPU-native
-        replacement for the external GEM model (reference main.py:22,
-        utils/training.py:2672)."""
-        from swat_tpu.eval.heatmap import clip_attention_heatmap
+        """CLIP heatmap for attentivemix — the TPU-native replacement for
+        the external GEM model (reference main.py:22,
+        utils/training.py:2672).
+
+        Honors --attentive_name (reference :2717-2731): each image is
+        localized with its own class's text — 'c-name' (common name),
+        's-name' (species), or 'general' (the reference hardcodes the
+        word 'bird', :2724-2725) — encoded ONCE by the frozen initial
+        text tower (the GEM-model analog) into a [C, D] bank.  Falls
+        back to cls-token self-relevance when no class names can be
+        built from the metrics file."""
+        from swat_tpu.eval.heatmap import (
+            clip_attention_heatmap,
+            clip_text_heatmap,
+        )
 
         model = self.model
+        bank = self._attentive_text_bank()
+        if bank is None:
 
-        def fn(params, images):
-            return clip_attention_heatmap(model, params, images)
+            def fn(params, images, labels):
+                return clip_attention_heatmap(model, params, images)
+        else:
+            self.logger.info(
+                f"attentivemix: text-conditioned heatmaps "
+                f"({self.cfg.attentive_name}, {bank.shape[0]} classes)")
+
+            def fn(params, images, labels):
+                return clip_text_heatmap(model, params, images,
+                                         bank[labels])
 
         return fn
+
+    def _attentive_text_bank(self):
+        """[num_classes, D] normalized localization-text embeddings in
+        class order, or None when the metrics file lacks usable names."""
+        import jax.numpy as jnp
+
+        cfg = self.cfg
+        try:
+            metrics = P.load_class_metrics(cfg.metrics_file)
+        except (OSError, ValueError, KeyError):
+            return None
+        texts = {}
+        for class_id in sorted(metrics, key=int):
+            entry = metrics[class_id]
+            if cfg.attentive_name == "general":
+                name = "bird"   # hardcoded in the reference, :2724-2725
+            elif cfg.attentive_name == "s-name":
+                name = (entry.get("species")
+                        or entry.get("most_common_name")
+                        or entry.get("name"))
+            else:   # 'c-name' (default)
+                name = (entry.get("common_name")
+                        or entry.get("most_common_name")
+                        or entry.get("name"))
+            if isinstance(name, list):
+                name = name[0] if name else None
+            if not isinstance(name, str) or not name:
+                return None
+            texts[class_id] = [name]
+        tokenized = P.tokenize_prompts(texts, self.tokenizer,
+                                       self.model_cfg.text.context_length)
+        tensors = P.encode_prompts(self._encode_text_fn(self.params),
+                                   tokenized)
+        return jnp.stack([jnp.asarray(tensors[cid]["mean"])
+                          for cid in sorted(tensors, key=int)])
 
     # ------------------------------------------------------------------
     # WiSE-FT (reference run_wsft_alpha, main.py:132-195)

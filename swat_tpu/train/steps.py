@@ -242,9 +242,11 @@ def make_mixing_step(model: CLIPModel, tx, method: str,
             elif method == "attentivemix":
                 # the reference's GEM heatmap model is a SEPARATE frozen
                 # model (utils/training.py:2682) — no gradients flow from
-                # the mixing loss into the heatmap network
+                # the mixing loss into the heatmap network.  labels pick
+                # each image's localization text (--attentive_name,
+                # :2717-2731); self-relevance heatmap_fns ignore them.
                 heatmaps = jax.lax.stop_gradient(
-                    heatmap_fn(trainable["model"], images))
+                    heatmap_fn(trainable["model"], images, labels))
                 images, y_a, y_b, lam_vec = aug.attentivemix(
                     images, labels, heatmaps, k_mix, cutmix_beta, mix_prob)
             else:

@@ -159,3 +159,50 @@ def test_rrc_bf16_close_to_f32(rng):
     assert b.dtype == jnp.bfloat16
     dev = float(jnp.max(jnp.abs(a - b.astype(jnp.float32))))
     assert dev < 6.0  # a couple of LSBs on the 0..255 scale
+
+
+def test_clip_text_heatmap_conditions_on_text():
+    """GEM-analog text-conditioned localization (reference
+    utils/training.py:2717-2731): the map must follow the text embedding
+    — different per-image texts give different maps, and a text aligned
+    with one patch's token peaks on that patch."""
+    import jax
+    import jax.numpy as jnp
+
+    from swat_tpu.eval.heatmap import clip_text_heatmap
+    from swat_tpu.models.clip import CLIPModel
+    from swat_tpu.models.configs import CLIPConfig, TextConfig, VisionConfig
+    from swat_tpu.core.precision import FP32_PRECISION
+
+    cfg = CLIPConfig(
+        name="tiny",
+        vision=VisionConfig(image_size=32, patch_size=16, width=64,
+                            layers=2, heads=4, embed_dim=48,
+                            quick_gelu=True),
+        text=TextConfig(context_length=12, vocab_size=100, width=64,
+                        layers=2, heads=4, embed_dim=48, quick_gelu=True))
+    model = CLIPModel(cfg, precision=FP32_PRECISION)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 32, 32, 3), jnp.float32),
+                        jnp.zeros((1, 12), jnp.int32))["params"]
+    images = jax.random.normal(jax.random.PRNGKey(1), (3, 32, 32, 3))
+
+    t1 = jax.random.normal(jax.random.PRNGKey(2), (3, 48))
+    t1 = t1 / jnp.linalg.norm(t1, axis=-1, keepdims=True)
+    t2 = -t1
+    hm1 = clip_text_heatmap(model, params, images, t1)
+    hm2 = clip_text_heatmap(model, params, images, t2)
+    assert hm1.shape == (3, 2, 2)
+    # flipping the text embedding flips the cosine map
+    np.testing.assert_allclose(np.asarray(hm1), -np.asarray(hm2),
+                               rtol=0, atol=1e-6)
+    assert float(jnp.abs(hm1).max()) <= 1.0 + 1e-5
+
+    # a text equal to one patch's projected token must peak there
+    tokens = model.apply({"params": params}, images,
+                         method=CLIPModel.encode_image_tokens)
+    tokens = tokens / jnp.linalg.norm(tokens, axis=-1, keepdims=True)
+    target = tokens[:, 3]    # patch index 2 (after the class token)
+    hm = clip_text_heatmap(model, params, images, target)
+    flat = np.asarray(hm.reshape(3, -1))
+    assert (flat.argmax(axis=1) == 2).all()

@@ -1178,7 +1178,7 @@ def test_attentivemix_trajectory_matches_torch():
         lr_backbone=LR_BB, total_iter=N_STEPS, wd=WD,
         logit_scale=ls0, warmup_iter=WARM)
 
-    def heatmap_fn(p, x):
+    def heatmap_fn(p, x, y=None):
         return clip_attention_heatmap(model, p, x)
 
     step = steps_mod.make_mixing_step(model, tx, "attentivemix",
