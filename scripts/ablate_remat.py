@@ -35,12 +35,14 @@ def main():
     i = 0
     while i < len(argv):
         a = argv[i]
-        if a.startswith("--bsz"):
+        if a == "--bsz" or a.startswith("--bsz="):
             if "=" in a:
-                bsz = int(a.split("=")[1])
-            else:
+                bsz = int(a.split("=", 1)[1])
+            elif i + 1 < len(argv):
                 bsz = int(argv[i + 1])
                 i += 1
+            else:
+                sys.exit("--bsz requires a value")
         else:
             args.append(a)
         i += 1

@@ -40,7 +40,12 @@ def str2remat(v):
         return v.lower()
     if v.lower() == "full":
         return True
-    return str2bool(v)
+    try:
+        return str2bool(v)
+    except argparse.ArgumentTypeError:
+        raise argparse.ArgumentTypeError(
+            f"--remat expects a boolean, 'full', 'dots' or 'dots_all'; "
+            f"got {v!r}")
 
 
 def build_parser() -> argparse.ArgumentParser:

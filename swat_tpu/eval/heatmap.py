@@ -16,17 +16,27 @@ import jax.numpy as jnp
 from swat_tpu.models.clip import CLIPModel
 
 
-def clip_attention_heatmap(model: CLIPModel, params, images) -> jnp.ndarray:
-    """images [B, H, W, 3] (normalized) -> heatmaps [B, gh, gw] in [-1,1]."""
+def _patch_similarity_map(model: CLIPModel, params, images,
+                          query_of_tokens) -> jnp.ndarray:
+    """Cosine map between every projected patch token and a per-image
+    query vector ([B, D], produced by `query_of_tokens` from the
+    normalized token array) -> [B, gh, gw]."""
     tokens = model.apply({"params": params}, images,
                          method=CLIPModel.encode_image_tokens)
     tokens = tokens / jnp.linalg.norm(tokens, axis=-1, keepdims=True)
-    cls = tokens[:, 0]                       # [B, D]
     patches = tokens[:, 1:]                  # [B, S-1, D]
-    sim = jnp.einsum("bd,bsd->bs", cls, patches)
+    query = jnp.asarray(query_of_tokens(tokens), tokens.dtype)
+    sim = jnp.einsum("bd,bsd->bs", query, patches)
     b, s = sim.shape
     g = int(round(s ** 0.5))
     return sim.reshape(b, g, g)
+
+
+def clip_attention_heatmap(model: CLIPModel, params, images) -> jnp.ndarray:
+    """images [B, H, W, 3] (normalized) -> heatmaps [B, gh, gw] in [-1,1]:
+    self-relevance of each patch token to the image's class token."""
+    return _patch_similarity_map(model, params, images,
+                                 lambda tokens: tokens[:, 0])
 
 
 def clip_text_heatmap(model: CLIPModel, params, images,
@@ -42,12 +52,5 @@ def clip_text_heatmap(model: CLIPModel, params, images,
     images [B, H, W, 3] (normalized), text_embeds [B, D] (normalized,
     from a frozen text-tower bank) -> heatmaps [B, gh, gw] in [-1, 1].
     """
-    tokens = model.apply({"params": params}, images,
-                         method=CLIPModel.encode_image_tokens)
-    tokens = tokens / jnp.linalg.norm(tokens, axis=-1, keepdims=True)
-    patches = tokens[:, 1:]                  # [B, S-1, D]
-    sim = jnp.einsum("bd,bsd->bs",
-                     jnp.asarray(text_embeds, tokens.dtype), patches)
-    b, s = sim.shape
-    g = int(round(s ** 0.5))
-    return sim.reshape(b, g, g)
+    return _patch_similarity_map(model, params, images,
+                                 lambda _: text_embeds)

@@ -770,6 +770,19 @@ class SwatPipeline:
             metrics = P.load_class_metrics(cfg.metrics_file)
         except (OSError, ValueError, KeyError):
             return None
+        # the bank is indexed by label inside the jitted step, where
+        # JAX's clamping gather would silently misalign classes if ids
+        # were sparse or off-by-one — require exactly 0..num_classes-1
+        try:
+            ids = {int(k) for k in metrics}
+        except ValueError:
+            return None
+        if ids != set(range(cfg.num_classes)):
+            self.logger.warning(
+                "attentivemix: metrics class ids are not contiguous "
+                "0..num_classes-1; falling back to self-relevance "
+                "heatmaps")
+            return None
         texts = {}
         for class_id in sorted(metrics, key=int):
             entry = metrics[class_id]

@@ -82,9 +82,10 @@ def test_no_dead_cli_flags():
     assert len(dests) > 50   # sanity: the parser was found
 
     body = "\n".join(p.read_text() for p in pkg.rglob("*.py"))
-    # a flag is consumed via attribute access (cfg.X / args.X / self.X)
-    # or getattr(cfg, "X", ...); add_argument lines don't count
-    body = re.sub(r"add_argument\([^)]*\)", "", body)
+    # a flag is consumed via qualified attribute access (cfg.X / args.X /
+    # self.X / config.X) or getattr(cfg, "X", ...) — an unqualified
+    # `.X` would also match attributes of unrelated objects and
+    # parenthesized help-text residue
     # start_validation: no-op in the reference too (every trainer's gate
     #   is commented out, utils/training.py:350,624,757)
     # attentive_threshold: read-but-unused in the dispatched
@@ -92,5 +93,7 @@ def test_no_dead_cli_flags():
     allowed_noops = {"start_validation", "attentive_threshold"}
     dead = [d for d in dests
             if d not in allowed_noops
-            and not re.search(rf"\.{d}\b|getattr\([^,]+, \"{d}\"", body)]
+            and not re.search(
+                rf"(cfg|args|self|config|run_cfg|stage_cfg)\.{d}\b"
+                rf"|getattr\([^,]+, \"{d}\"", body)]
     assert not dead, f"CLI flags accepted but never read: {dead}"
