@@ -23,7 +23,7 @@ import json
 
 
 def convert(checkpoint: str, model_cfg: str, output: str,
-            verify: bool = True) -> dict:
+            verify: bool = True, quantize: str = "none") -> dict:
     import numpy as np
 
     from swat_tpu.models.configs import get_model_config
@@ -64,6 +64,19 @@ def convert(checkpoint: str, model_cfg: str, output: str,
         if mismatched:
             raise ValueError(f"round-trip mismatch: {mismatched[:10]}")
 
+    if quantize == "int8":
+        # W8A8 serving bundle (models/quant.py): ~4x smaller on disk, drops
+        # into every inference entry point unchanged (functional._qdot
+        # dispatches on "kernel_q"); the torch round-trip check above runs
+        # on the fp32 tree BEFORE quantization. Training warm-start from a
+        # quantized bundle is refused by train.state.create_train_state.
+        from swat_tpu.models.quant import quantize_tree
+
+        params = quantize_tree(params)
+        report["quantize"] = "int8"
+    elif quantize != "none":
+        raise ValueError(f"unknown quantize mode {quantize!r}")
+
     save_bundle(output, {"clip": params, "logit_scale": logit_scale},
                 meta=report)
     return report
@@ -83,9 +96,12 @@ def main(argv=None):
     p.add_argument("--output", required=True, help="msgpack bundle path")
     p.add_argument("--no_verify", action="store_true",
                    help="skip the torch round-trip check")
+    p.add_argument("--quantize", default="none", choices=["none", "int8"],
+                   help="int8 = write a W8A8 inference bundle "
+                        "(models/quant.py): ~4x smaller, eval-only")
     args = p.parse_args(argv)
     report = convert(args.checkpoint, args.model_cfg, args.output,
-                     verify=not args.no_verify)
+                     verify=not args.no_verify, quantize=args.quantize)
     print(json.dumps(report))
 
 

@@ -45,6 +45,9 @@ def main(argv=None):
                    help="write '<path> <pred> 0' lines here — a ready "
                         "--utrain split for pseudo-label training "
                         "(reference utils/dataloader.py:188-202)")
+    p.add_argument("--quantize", default="none", choices=["none", "int8"],
+                   help="int8 = W8A8 quantized inference on the int8 MXU "
+                        "path (models/quant.py); eval-only")
     p.add_argument("--tau", type=float, default=0.0,
                    help="apply tau-normalization to the head at test "
                         "time (reference testing.py:568,721-724)")
@@ -78,6 +81,12 @@ def main(argv=None):
             alt = arrays.get(args.which_head) or {}
             head = alt.get("w", arrays["head"])
         pipe.logger.info(f"Loaded {args.model_path}: meta={meta}")
+
+    if args.quantize == "int8":
+        from swat_tpu.models.quant import quantize_tree
+
+        params = quantize_tree(params)
+        pipe.logger.info("int8 W8A8 quantized inference (models/quant.py)")
 
     if args.tau != 0:
         from swat_tpu.models.head import tau_normalize

@@ -66,11 +66,29 @@ def _layer_norm(p, x, precision: Precision, eps: float = 1e-5):
     return y.astype(precision.compute_dtype)
 
 
+def _qdot(x, q, precision: Precision, out_dtype=None):
+    """W8A8 matmul on the int8 MXU path (models/quant.py): dynamic
+    per-row activation quant (absmax/127), int8 x int8 -> int32
+    dot_general, fp32 dequant by (row_scale * channel_scale)."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
+                    1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        xq, q["kernel_q"], (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * (s * q["scale"].astype(jnp.float32))
+    return y.astype(out_dtype or precision.compute_dtype)
+
+
 def _dense(p, x, precision: Precision):
     c = precision.compute_dtype
-    y = jnp.dot(x.astype(c), p["kernel"].astype(c),
-                precision=precision.matmul_precision)
-    return y + p["bias"].astype(c)
+    if "kernel_q" in p:
+        y = _qdot(x, p, precision)
+    else:
+        y = jnp.dot(x.astype(c), p["kernel"].astype(c),
+                    precision=precision.matmul_precision)
+    return y + p["bias"].astype(c) if "bias" in p else y
 
 
 def _quick_gelu(x):
@@ -140,6 +158,10 @@ def _transformer(p, x, heads: int, layers: int, quick_gelu: bool,
                  causal: bool, precision: Precision, remat: Any = False,
                  use_pallas: bool = False, use_mega: bool = False):
     if use_mega:
+        if "kernel_q" in p["blocks"]["attn"]["qkv"]:
+            raise ValueError(
+                "use_mega has no int8 path: the megablock kernel reads "
+                "raw bf16 kernels (run --quantize int8 without use_mega)")
         from swat_tpu.kernels.megablock import fused_transformer
 
         return fused_transformer(
@@ -169,8 +191,11 @@ def vit_encode_image(p, images, cfg: VisionConfig, precision: Precision,
     x = images.astype(cd)
     x = x.reshape(b, gh, patch, gw, patch, c).transpose(0, 1, 3, 2, 4, 5)
     x = x.reshape(b, gh * gw, patch * patch * c)
-    x = jnp.dot(x, p["patch_embed"]["kernel"].astype(cd),
-                precision=precision.matmul_precision)
+    if "kernel_q" in p["patch_embed"]:
+        x = _qdot(x, p["patch_embed"], precision)
+    else:
+        x = jnp.dot(x, p["patch_embed"]["kernel"].astype(cd),
+                    precision=precision.matmul_precision)
 
     cls = jnp.broadcast_to(p["class_embedding"].astype(cd),
                            (b, 1, cfg.width))
@@ -183,10 +208,13 @@ def vit_encode_image(p, images, cfg: VisionConfig, precision: Precision,
                      remat=remat, use_pallas=use_pallas, use_mega=use_mega)
     x = _layer_norm(p["ln_post"]["ln"], x if not pool else x[:, 0],
                     precision)
-    feats = jnp.dot(x, p["proj"].astype(cd),
-                    precision=precision.matmul_precision,
-                    preferred_element_type=precision.accum_dtype
-                    ).astype(jnp.float32)
+    if isinstance(p["proj"], dict):
+        feats = _qdot(x, p["proj"], precision, out_dtype=jnp.float32)
+    else:
+        feats = jnp.dot(x, p["proj"].astype(cd),
+                        precision=precision.matmul_precision,
+                        preferred_element_type=precision.accum_dtype
+                        ).astype(jnp.float32)
     if normalize:
         feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
     return feats
@@ -205,10 +233,14 @@ def text_encode(p, token_ids, cfg: TextConfig, precision: Precision,
     x = _layer_norm(p["ln_final"]["ln"], x, precision)
     eot = jnp.argmax(token_ids, axis=-1)
     x = x[jnp.arange(x.shape[0]), eot]
-    feats = jnp.dot(x, p["text_projection"].astype(cd),
-                    precision=precision.matmul_precision,
-                    preferred_element_type=precision.accum_dtype
-                    ).astype(jnp.float32)
+    if isinstance(p["text_projection"], dict):
+        feats = _qdot(x, p["text_projection"], precision,
+                      out_dtype=jnp.float32)
+    else:
+        feats = jnp.dot(x, p["text_projection"].astype(cd),
+                        precision=precision.matmul_precision,
+                        preferred_element_type=precision.accum_dtype
+                        ).astype(jnp.float32)
     if normalize:
         feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
     return feats

@@ -268,6 +268,13 @@ def cmd_extract(args):
         except ValueError:
             pass
 
+    if args.quantize == "int8":
+        # bulk inference on the int8 MXU path (models/quant.py): W8A8
+        # dynamic quant for both towers; beyond-parity serving lever
+        from swat_tpu.models.quant import quantize_tree
+
+        params = jax.device_put(quantize_tree(params))
+
     samples = find_mined_images(args.mined_dir)
     with open(args.caption_map) as f:
         cmap = json.load(f)
@@ -439,6 +446,9 @@ def main(argv=None):
     ex.add_argument("--bpe_path", default=None)
     ex.add_argument("--bsz", type=int, default=256)
     ex.add_argument("--mesh_data", type=int, default=-1)
+    ex.add_argument("--quantize", default="none", choices=["none", "int8"],
+                    help="int8 = W8A8 quantized inference (2x MXU rate "
+                         "on v5e; see models/quant.py)")
 
     sp = sub.add_parser("sample")
     sp.add_argument("--dataset", default=None)

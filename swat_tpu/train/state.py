@@ -92,6 +92,13 @@ def create_train_state(params, head, method: str, *,
                        warmup_iter: int = WARMUP_ITER):
     """Returns (state, tx). ``params``/``head`` may be host arrays; they are
     device_put once here (host trees re-upload per step otherwise)."""
+    from swat_tpu.models.quant import is_quantized
+
+    if is_quantized(params):
+        raise ValueError(
+            "refusing to train on an int8-quantized tree: gradients "
+            "through the rounding are zero (models/quant.py is "
+            "inference-only; keep the fp32 tree for training)")
     labels = make_labels(params, method, head, locked_text)
     tx = build_optimizer(labels, lr_classifier=lr_classifier,
                          lr_backbone=lr_backbone, total_iter=total_iter,

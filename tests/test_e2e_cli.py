@@ -265,6 +265,27 @@ def test_eval_cli_tau_flag(dataset_dir, tmp_path, capsys):
     assert 0.0 <= acc <= 100.001
 
 
+def test_eval_cli_quantize_int8(dataset_dir, tmp_path, capsys):
+    """--quantize int8 runs the eval on the W8A8 tree (models/quant.py)
+    and lands within a few prediction flips of the fp32 run."""
+    from swat_tpu.cli.test import main as test_main
+
+    accs = {}
+    for quant in ("none", "int8"):
+        test_main([
+            "--dataset", DATASET, "--dataset_path", dataset_dir,
+            "--retrieved_path", dataset_dir, "--model_cfg", "test_tiny",
+            "--split", "test.txt", "--bsz", "8", "--num_workers", "2",
+            "--quantize", quant, "--folder", str(tmp_path / f"ev_{quant}")])
+        out = capsys.readouterr().out
+        line = [l for l in out.splitlines()
+                if l.startswith(f"{DATASET},test.txt,")]
+        assert len(line) == 1, out
+        accs[quant] = float(line[0].split(",")[2])
+    # 18 test images -> one flip = 5.6 points; allow a few
+    assert abs(accs["none"] - accs["int8"]) <= 3 * 100 / 18 + 1e-6
+
+
 def test_dataset_cls_proper_splits(dataset_dir, tmp_path):
     """data_source=dataset-cls uses dedicated dataset_train/val/test.txt
     with an empty base path (reference utils/parser.py:200-204) and

@@ -122,3 +122,14 @@ def test_extract_mined_features_end_to_end(tmp_path):
                          "file_paths", "captions"}
     np.testing.assert_array_equal(back["image_features"],
                                   feats["image_features"])
+
+    # int8 bulk-inference path (retrieval cli extract --quantize int8):
+    # same bundle shapes, features near the fp32 ones
+    from swat_tpu.models.quant import quantize_tree
+
+    qfeats = extract_mined_features(
+        model, quantize_tree(params), samples, cmap, get_tokenizer(),
+        batch_size=4, num_workers=2, image_size=CFG.vision.image_size)
+    assert qfeats["image_features"].shape == (6, CFG.embed_dim)
+    cos = np.sum(qfeats["image_features"] * feats["image_features"], -1)
+    assert cos.min() > 0.99, cos
