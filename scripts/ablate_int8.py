@@ -18,7 +18,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-ITERS = 30
+# 300 iters per dispatch: the ~18 ms tunnel latency per jitted call
+# (CLAUDE.md) would otherwise add 18/ITERS ms to each per-iter time —
+# at 30 iters that's 0.6 ms on matmuls that take 0.2-1.5 ms, enough
+# bias to flip the int8-vs-bf16 verdict this script exists to decide.
+ITERS = 300
 
 
 def main():

@@ -44,18 +44,16 @@ def bench_one(model_cfg: str, bsz: int):
         (bsz, cfg.vision.image_size, cfg.vision.image_size, 3)
     ).astype(np.float32))
 
-    def make_epoch(p):
-        @jax.jit
-        def epoch(p, images):
-            def body(carry, i):
-                x = images * (1.0 + 1e-7 * i.astype(jnp.float32))
-                feats = F.encode_image(model, p, x, normalize=True,
-                                       mode="infer")
-                return carry + feats[0, 0], None
+    @jax.jit
+    def epoch(p, images):
+        def body(carry, i):
+            x = images * (1.0 + 1e-7 * i.astype(jnp.float32))
+            feats = F.encode_image(model, p, x, normalize=True,
+                                   mode="infer")
+            return carry + feats[0, 0], None
 
-            s, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(ITERS))
-            return s
-        return epoch
+        s, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(ITERS))
+        return s
 
     def timed(fn, *args, reps=3):
         _ = float(fn(*args))
@@ -65,7 +63,6 @@ def bench_one(model_cfg: str, bsz: int):
         _ = float(out)
         return (time.perf_counter() - t0) / (reps * ITERS) * 1e3
 
-    epoch = make_epoch(params)
     bf16_ms = timed(epoch, params, images)
     int8_ms = timed(epoch, qparams, images)
 
@@ -99,24 +96,13 @@ def main():
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/swat_jax_cache")
-    argv, args, bsz_over = sys.argv[1:], [], None
-    i = 0
-    while i < len(argv):
-        a = argv[i]
-        if a.startswith("--bsz"):
-            if "=" in a:
-                bsz_over = int(a.split("=")[1])
-            else:
-                bsz_over = int(argv[i + 1])
-                i += 1
-        else:
-            args.append(a)
-        i += 1
-    cfgs = args or ["vitb32_openclip_laion400m",
+    from _common import default_bsz, parse_models_bsz
+
+    cfgs, bsz_over = parse_models_bsz(sys.argv[1:])
+    cfgs = cfgs or ["vitb32_openclip_laion400m",
                     "vitb16_openclip_laion400m"]
     for c in cfgs:
-        bsz = bsz_over or (256 if "vitb32" in c
-                           else 64 if "vitl14" in c else 128)
+        bsz = bsz_over or default_bsz(c)
         try:
             bench_one(c, bsz)
         except Exception as e:

@@ -94,24 +94,13 @@ def main():
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/swat_jax_cache")
-    argv, args, bsz_over = sys.argv[1:], [], None
-    i = 0
-    while i < len(argv):
-        a = argv[i]
-        if a.startswith("--bsz"):
-            if "=" in a:
-                bsz_over = int(a.split("=")[1])
-            else:
-                bsz_over = int(argv[i + 1])
-                i += 1
-        else:
-            args.append(a)
-        i += 1
-    cfgs = args or ["vitb16_openclip_laion400m",
+    from _common import default_bsz, parse_models_bsz
+
+    cfgs, bsz_over = parse_models_bsz(sys.argv[1:])
+    cfgs = cfgs or ["vitb16_openclip_laion400m",
                     "vitl14_openclip_laion400m"]
     for c in cfgs:
-        bsz = bsz_over or (256 if "vitb32" in c
-                           else 64 if "vitl14" in c else 128)
+        bsz = bsz_over or default_bsz(c)
         for use_pallas in (False, True):
             try:
                 bench_one(c, bsz, use_pallas, remat="vitl14" in c)

@@ -259,6 +259,16 @@ def cmd_extract(args):
             jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3)),
             jnp.zeros((1, cfg.text.context_length), jnp.int32))["params"]
         print("WARNING: random weights (no --checkpoint_path)")
+
+    if args.quantize == "int8":
+        # bulk inference on the int8 MXU path (models/quant.py): W8A8
+        # dynamic quant for both towers; beyond-parity serving lever.
+        # Quantize host-side BEFORE the upload — device_put'ing the fp32
+        # tree first would pay a wasted ~350 MB transfer plus a host
+        # round-trip through quantize_tree's np.asarray.
+        from swat_tpu.models.quant import quantize_tree
+
+        params = quantize_tree(params)
     params = jax.device_put(params)
 
     mesh = None
@@ -267,13 +277,6 @@ def cmd_extract(args):
             mesh = create_mesh(MeshSpec(args.mesh_data, 1))
         except ValueError:
             pass
-
-    if args.quantize == "int8":
-        # bulk inference on the int8 MXU path (models/quant.py): W8A8
-        # dynamic quant for both towers; beyond-parity serving lever
-        from swat_tpu.models.quant import quantize_tree
-
-        params = jax.device_put(quantize_tree(params))
 
     samples = find_mined_images(args.mined_dir)
     with open(args.caption_map) as f:

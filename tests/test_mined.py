@@ -133,3 +133,37 @@ def test_extract_mined_features_end_to_end(tmp_path):
     assert qfeats["image_features"].shape == (6, CFG.embed_dim)
     cos = np.sum(qfeats["image_features"] * feats["image_features"], -1)
     assert cos.min() > 0.99, cos
+
+
+def test_extract_cli_quantize_int8(tmp_path):
+    """The `retrieval extract --quantize int8` argv surface: quantizes
+    the tree host-side before the single device_put, then runs the same
+    bundle pipeline (covers the CLI wiring around cmd_extract, not just
+    extract_mined_features)."""
+    from swat_tpu.retrieval.cli import main as retrieval_main
+
+    rng = np.random.default_rng(1)
+    root = tmp_path / "mined"
+    for cls in (0, 1):
+        os.makedirs(root / str(cls))
+        for i in range(2):
+            arr = rng.integers(0, 255, (40, 40, 3)).astype(np.uint8)
+            Image.fromarray(arr).save(root / str(cls) / f"{i}.jpg")
+    cmap_path = tmp_path / "cmap.json"
+    with open(cmap_path, "w") as f:
+        json.dump({str(c): {str(i): f"cap {c}" for i in range(2)}
+                   for c in (0, 1)}, f)
+
+    out = tmp_path / "mined_q.npz"
+    retrieval_main([
+        "extract", "--mined_dir", str(root), "--caption_map",
+        str(cmap_path), "--output", str(out), "--model_cfg", "test_tiny",
+        "--bsz", "4", "--mesh_data", "1", "--quantize", "int8"])
+
+    from swat_tpu.retrieval.mined import load_mined_features
+
+    feats = load_mined_features(str(out))
+    assert feats["image_features"].shape == (4, CFG.embed_dim)
+    np.testing.assert_allclose(
+        np.linalg.norm(feats["image_features"], axis=-1), 1.0, atol=1e-5)
+    np.testing.assert_array_equal(feats["labels"], [0, 0, 1, 1])
