@@ -21,6 +21,7 @@ import functools
 import gzip
 import html
 import os
+import unicodedata
 from typing import Iterable, List, Sequence
 
 import numpy as np
@@ -63,6 +64,11 @@ except ImportError:       # image — mojibake inputs tokenize unrepaired
 def _basic_clean(text: str) -> str:
     if _ftfy is not None:
         text = _ftfy.fix_text(text)
+    else:
+        # ftfy.fix_text NFC-normalizes by default (its `normalization="NFC"`
+        # config); without it, combining-accent inputs ("café" as e+U+0301)
+        # would tokenize differently from the reference pipeline.
+        text = unicodedata.normalize("NFC", text)
     text = html.unescape(html.unescape(text))
     return text.strip()
 
