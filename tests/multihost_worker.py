@@ -134,6 +134,18 @@ def main():
     assert all(d.process_index == r // N_LOCAL_DEVICES
                for r, row in enumerate(dev) for d in row), dev
 
+    # Establish the gloo clique BEFORE the train-step compile. The first
+    # collective performs the gloo rendezvous under a fixed 30s key-value
+    # deadline; on a small host the two processes jit-compile concurrently
+    # on shared cores, and the compile-time skew can blow that window
+    # (observed as "Gloo context initialization failed: DEADLINE_EXCEEDED"
+    # at the first psum). A barrier here only has to absorb import/init
+    # skew; the heavy compile then happens with everyone already connected
+    # and the clique is reused by the training psums.
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("swat_tpu multihost warmup")
+
     losses, head = compute(mesh=mesh)
     print(json.dumps({
         "pid": pid,

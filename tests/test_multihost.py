@@ -37,8 +37,7 @@ def _free_port():
         return s.getsockname()[1]
 
 
-@pytest.fixture(scope="module")
-def worker_outputs():
+def _run_cluster():
     port = _free_port()
     env = dict(os.environ)
     # the workers set their own platform/device-count vars; scrub the
@@ -61,6 +60,19 @@ def worker_outputs():
         for p in procs:
             if p.poll() is None:
                 p.kill()
+    return outs
+
+
+@pytest.fixture(scope="module")
+def worker_outputs():
+    outs = _run_cluster()
+    # The gloo rendezvous runs under a fixed 30s deadline; on a loaded
+    # 1-core host the two workers' concurrent jax imports/compiles can skew
+    # past it even with the worker-side warmup barrier. That is a host
+    # scheduling artifact, not a product failure — retry the whole cluster
+    # once before declaring it real.
+    if any(rc != 0 and "DEADLINE_EXCEEDED" in out for rc, out in outs):
+        outs = _run_cluster()
     results = []
     for rc, out in outs:
         assert rc == 0, f"worker failed (rc={rc}):\n{out[-4000:]}"
