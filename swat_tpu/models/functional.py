@@ -129,12 +129,11 @@ def _block(p, x, heads: int, quick_gelu: bool, causal: bool,
             # pallas_call does not partition under GSPMD; run the kernel
             # per-shard over the data axis so batch-sharded eval keeps
             # the fused forward (VERDICT r2 weak #6)
-            from jax.experimental.shard_map import shard_map
             from jax.sharding import PartitionSpec as P
 
             spec = P("data", None, None)
-            mha = shard_map(mha, mesh=mesh, in_specs=(spec,) * 3,
-                            out_specs=spec, check_rep=False)
+            mha = jax.shard_map(mha, mesh=mesh, in_specs=(spec,) * 3,
+                                out_specs=spec, check_vma=False)
         attn = mha(q, k, v)
     else:
         def heads_last(t):
