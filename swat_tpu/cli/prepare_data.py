@@ -42,8 +42,12 @@ def random_sample_fewshot(dataset_dir: str, dataset: str, shots: int,
     random.seed(seed)
     out_path = os.path.join(dataset_dir, f"fewshot{shots}_seed{seed}.txt")
     out_lines = []
-    for class_id in sorted(by_class, key=int):
-        paths = by_class[class_id]
+    # iterate classes in file-encounter order: the single seeded RNG stream
+    # is consumed per class, so iteration order determines WHICH images each
+    # class gets (reference train.items(), prepare_fewshot_txt.py:50-52).
+    # tests/test_reference_artifacts.py proves this reproduces every shipped
+    # fewshot{K}_seed{S}.txt byte-for-byte.
+    for class_id, paths in by_class.items():
         picked = paths if len(paths) < shots else random.sample(paths, shots)
         for p in picked:
             out_lines.append(f"{p} {class_id} 1")  # 1 = few-shot source
