@@ -136,3 +136,36 @@ def test_sharded_phrase_query_and_evict(store):
     assert sorted(ids2) == [3]
     idx.evict()
     assert sorted(idx.query("blackbird")) == [0, 2, 3, 5]  # reload works
+
+
+def test_global_ids_beyond_int32_laion2b_scale(store):
+    """LAION-2B has ~2.3B captions, so global caption ids exceed int32
+    range (the reference scales by adding FTS shard tables,
+    laion_parser.py:21-24; our global id = offset[shard] + rowid must be
+    64-bit clean end to end). Simulate 2B-scale shard offsets on a tiny
+    store and assert query / lookup round-trip above 2**31."""
+    off1 = 2_200_000_000  # shard 1 starts past int32 range; 2.3B total
+    with open(os.path.join(store, "manifest.json")) as f:
+        manifest = json.load(f)
+    manifest["counts"] = [off1, 2_300_000_000 - off1]
+    manifest["offsets"] = [0, off1, 2_300_000_000]
+    with open(os.path.join(store, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+
+    idx = ShardedCaptionIndex(store)
+    assert len(idx) == 2_300_000_000
+    ids = idx.query("blackbird")
+    assert ids.dtype == np.int64
+    assert sorted(ids) == [0, 2, off1 + 0, off1 + 2]
+    assert max(ids) > 2**31  # would wrap negative under int32
+
+    meta = MetaStore(store)
+    assert len(meta) == 2_300_000_000
+    rec = meta.lookup(off1 + 2)  # shard 1 rowid 2
+    assert rec["shard"] == 1 and rec["rowid"] == 2
+    assert rec["caption"] == "a blackbird photo"
+    rows, _ = build_url_rows(
+        {"0": [("blackbird", int(i)) for i in ids]}, meta, skip_nsfw=True)
+    # gid 2 is NSFW-flagged and gid off1+2 has an empty URL; the
+    # survivors keep their 64-bit ids intact
+    assert {r["caption_id"] for r in rows} == {0, off1 + 0}
