@@ -255,22 +255,36 @@ def _is_vit(model) -> bool:
     return not isinstance(model.cfg.vision, ResNetConfig)
 
 
-def _pick_pallas(model, mode: str) -> bool:
-    """Measured policy (scripts/ablate_functional.py on v5e): the fused
-    packed-attention *forward* beats XLA by ~27% (21.7 vs 27.5 ms/step
-    fwd-only @ bsz 256 ViT-B/32), but every fused *backward* variant loses
-    to XLA's autodiff at these tiny (S=50) shapes.  So inference paths use
-    the kernel on single-chip TPU; training uses XLA unless explicitly
-    flagged.  Multi-device runs stay on XLA automatically — pallas_call
-    does not auto-partition under GSPMD, so batch-sharded eval would
-    otherwise force a gather (or fail) on a mesh."""
+# Fused-backward crossover: the best fused train backward loses at S=50
+# (75.5 vs XLA's 72 ms full step, ViT-B/32 bsz 256) but wins at S=197
+# (128.2 vs 150.0 ms, ViT-B/16 bsz 128 — scripts/ablate_train_attn.py):
+# the per-head relayout overhead that dominates tiny sequences amortizes
+# as attention grows O(S^2).  The crossover sits somewhere in (50, 197);
+# sequences below the measured win stay on XLA autodiff.
+_PALLAS_TRAIN_MIN_SEQ = 197
+
+
+def _pick_pallas(model, mode: str, seq_len: int = 0) -> bool:
+    """Measured policy (scripts/ablate_functional.py + ablate_train_attn.py
+    on v5e): the fused packed-attention *forward* beats XLA by ~27% (21.7
+    vs 27.5 ms/step fwd-only @ bsz 256 ViT-B/32), so inference paths use
+    the kernel on TPU.  For *training*, the fused backward loses at S=50
+    but wins at S>=197 (B/16: 17% faster full step), so training
+    auto-enables the kernel only for towers whose sequence length reaches
+    the measured win (`_PALLAS_TRAIN_MIN_SEQ`) — the text tower (S=77)
+    keeps XLA.  Multi-device runs stay on XLA unless the shard_map
+    wrapper is active (`_INFERENCE_MESH`) — pallas_call does not
+    auto-partition under GSPMD, so batch-sharded runs would otherwise
+    force a gather (or fail) on a mesh."""
+    if model.use_pallas:
+        return True
+    auto_ok = (jax.default_backend() == "tpu"
+               and (jax.device_count() == 1
+                    or _INFERENCE_MESH[0] is not None)
+               and model.precision.compute_dtype == jnp.bfloat16)
     if mode == "infer":
-        auto = (jax.default_backend() == "tpu"
-                and (jax.device_count() == 1
-                     or _INFERENCE_MESH[0] is not None)
-                and model.precision.compute_dtype == jnp.bfloat16)
-        return model.use_pallas or auto
-    return model.use_pallas
+        return auto_ok
+    return auto_ok and seq_len >= _PALLAS_TRAIN_MIN_SEQ
 
 
 def encode_image(model, params, images, normalize: bool = False,
@@ -281,7 +295,9 @@ def encode_image(model, params, images, normalize: bool = False,
         return vit_encode_image(params["visual"], images, model.cfg.vision,
                                 model.precision, normalize=normalize,
                                 remat=model.remat,
-                                use_pallas=_pick_pallas(model, mode))
+                                use_pallas=_pick_pallas(
+                                    model, mode,
+                                    model.cfg.vision.seq_len))
     from swat_tpu.models.clip import CLIPModel
 
     return model.apply({"params": params}, images, normalize,
@@ -327,7 +343,9 @@ def encode_text(model, params, token_ids, normalize: bool = False,
         return text_encode(params["text"], token_ids, model.cfg.text,
                            model.precision, normalize=normalize,
                            remat=model.remat,
-                           use_pallas=_pick_pallas(model, mode))
+                           use_pallas=_pick_pallas(
+                               model, mode,
+                               model.cfg.text.context_length))
     from swat_tpu.models.clip import CLIPModel
 
     return model.apply({"params": params}, token_ids, normalize,

@@ -151,3 +151,37 @@ def test_resnet_falls_back_to_flax():
     # tiny-fy to keep the test fast: just check the dispatch predicate
     model = CLIPModel(cfg)
     assert not F._is_vit(model)
+
+
+def test_pick_pallas_train_policy(monkeypatch):
+    """Training auto-enables the fused kernel only for long sequences
+    (measured: S=197 fused bwd wins 128 vs 150 ms; S=50 loses —
+    scripts/ablate_train_attn.py); inference enables it regardless;
+    non-TPU backends and explicit use_pallas behave as before."""
+    from swat_tpu.core.precision import DEFAULT_PRECISION, FP32_PRECISION
+
+    model = CLIPModel(CFG, precision=DEFAULT_PRECISION)
+
+    # on this (CPU) backend the auto path must stay off everywhere
+    assert not F._pick_pallas(model, "infer")
+    assert not F._pick_pallas(model, "train", 197)
+    # explicit flag always wins
+    assert F._pick_pallas(CLIPModel(CFG, use_pallas=True), "train", 50)
+
+    # fake a single-chip TPU backend
+    monkeypatch.setattr(F.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(F.jax, "device_count", lambda: 1)
+    assert F._pick_pallas(model, "infer")
+    assert F._pick_pallas(model, "train", 197)   # B/16 vision tower
+    assert F._pick_pallas(model, "train", 257)   # L/14 vision tower
+    assert not F._pick_pallas(model, "train", 50)   # B/32 vision tower
+    assert not F._pick_pallas(model, "train", 77)   # text tower
+    # fp32 parity runs keep XLA (the kernel policy is bf16-only)
+    assert not F._pick_pallas(CLIPModel(CFG, precision=FP32_PRECISION),
+                              "train", 197)
+    # multi-device without the shard_map wrapper: GSPMD can't partition
+    # pallas_call — everything stays on XLA
+    monkeypatch.setattr(F.jax, "device_count", lambda: 8)
+    assert F._INFERENCE_MESH[0] is None
+    assert not F._pick_pallas(model, "infer")
+    assert not F._pick_pallas(model, "train", 197)
