@@ -275,16 +275,20 @@ def _pick_pallas(model, mode: str, seq_len: int = 0) -> bool:
     keeps XLA.  Multi-device runs stay on XLA unless the shard_map
     wrapper is active (`_INFERENCE_MESH`) — pallas_call does not
     auto-partition under GSPMD, so batch-sharded runs would otherwise
-    force a gather (or fail) on a mesh."""
+    force a gather (or fail) on a mesh.  The shard_map allowance is
+    INFERENCE-ONLY: the wrapper's custom-VJP gradient path under
+    shard_map is unmeasured and its P('data', None, None) in_specs
+    would replicate activations over a model axis, so mesh *training*
+    always keeps XLA autodiff regardless of the registered mesh."""
     if model.use_pallas:
         return True
-    auto_ok = (jax.default_backend() == "tpu"
-               and (jax.device_count() == 1
-                    or _INFERENCE_MESH[0] is not None)
-               and model.precision.compute_dtype == jnp.bfloat16)
+    on_tpu_bf16 = (jax.default_backend() == "tpu"
+                   and model.precision.compute_dtype == jnp.bfloat16)
     if mode == "infer":
-        return auto_ok
-    return auto_ok and seq_len >= _PALLAS_TRAIN_MIN_SEQ
+        return on_tpu_bf16 and (jax.device_count() == 1
+                                or _INFERENCE_MESH[0] is not None)
+    return (on_tpu_bf16 and jax.device_count() == 1
+            and seq_len >= _PALLAS_TRAIN_MIN_SEQ)
 
 
 def encode_image(model, params, images, normalize: bool = False,

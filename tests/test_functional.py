@@ -185,3 +185,15 @@ def test_pick_pallas_train_policy(monkeypatch):
     assert F._INFERENCE_MESH[0] is None
     assert not F._pick_pallas(model, "infer")
     assert not F._pick_pallas(model, "train", 197)
+    # multi-device WITH a registered inference mesh (SwatPipeline sets it
+    # unconditionally for every mesh run): the shard_map wrapper serves
+    # inference only — TRAIN must still pick XLA, since the wrapper's
+    # custom-VJP gradient path under shard_map is unmeasured/untested
+    # (advisor r3 medium finding).
+    F._INFERENCE_MESH[0] = object()
+    try:
+        assert F._pick_pallas(model, "infer")
+        assert not F._pick_pallas(model, "train", 197)
+        assert not F._pick_pallas(model, "train", 257)
+    finally:
+        F._INFERENCE_MESH[0] = None
