@@ -209,6 +209,108 @@ def test_dp_sharded_twin_scan_epoch_matches_single_device(rng):
     np.testing.assert_allclose(head_1, head_8, rtol=1e-5, atol=1e-7)
 
 
+def test_dp_sharded_flyp_step_matches_single_device(rng):
+    """FLYP's [B, B] bidirectional InfoNCE is the one loss with
+    cross-sample coupling: under dp sharding GSPMD must all-gather the
+    text features to form the full contrastive matrix — a sharding bug
+    here would silently train on per-shard negatives only (reference
+    InfoNCE, utils/training.py:459-476).  dp=8 must equal single-device
+    to fp32 rounding (VERDICT r3 item 5)."""
+    model = CLIPModel(CFG, precision=FP32_PRECISION)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32),
+        jnp.zeros((1, CFG.text.context_length), jnp.int32))["params"]
+    head = init_head_random(jax.random.PRNGKey(1), 3, CFG.embed_dim)
+
+    batch_np = {
+        "images": rng.normal(size=(16, 32, 32, 3)).astype(np.float32),
+        "labels": rng.integers(0, 3, 16).astype(np.int32),
+        "source": rng.integers(0, 2, 16).astype(np.int32),
+        "prompt_tokens": rng.integers(
+            1, CFG.text.vocab_size - 1,
+            (16, CFG.text.context_length)).astype(np.int32),
+    }
+    batch_np["prompt_tokens"][:, -1] = CFG.text.vocab_size - 1  # EOT
+
+    def run(mesh):
+        state, tx = create_train_state(
+            params, head, "FLYP", lr_classifier=1e-3,
+            lr_backbone=1e-4, total_iter=10)
+        step = S.make_flyp_step(model, tx, image_size=32)
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        if mesh is not None:
+            batch = {k: jax.device_put(
+                v, NamedSharding(mesh, P("data", *[None] * (v.ndim - 1))))
+                for k, v in batch.items()}
+            state = jax.device_put(state, NamedSharding(mesh, P()))
+        new_state, loss = step(state, batch, jax.random.PRNGKey(3))
+        vis_leaf = np.asarray(jax.tree_util.tree_leaves(
+            new_state.model["visual"])[0])
+        return float(loss), float(new_state.logit_scale), vis_leaf
+
+    loss_1, ls_1, leaf_1 = run(None)
+    mesh = create_mesh(MeshSpec(data=8, model=1))
+    loss_8, ls_8, leaf_8 = run(mesh)
+
+    assert loss_1 == pytest.approx(loss_8, rel=1e-5)
+    assert ls_1 == pytest.approx(ls_8, rel=1e-6)
+    np.testing.assert_allclose(leaf_1, leaf_8, rtol=1e-5, atol=1e-7)
+
+
+def test_dp_sharded_fixmatch_step_matches_single_device(rng):
+    """FixMatch's confidence threshold and the mask-MEAN consistency
+    weighting are global-batch statistics: mask.mean() over the full
+    unlabeled batch must not become a per-shard mean under dp
+    (reference :893-908).  The full on-device weak/strong augmentation
+    path runs sharded (VERDICT r3 item 5)."""
+    model = CLIPModel(CFG, precision=FP32_PRECISION)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32),
+        jnp.zeros((1, CFG.text.context_length), jnp.int32))["params"]
+    head = init_head_random(jax.random.PRNGKey(1), 3, CFG.embed_dim)
+
+    batch_np = {
+        "images": rng.normal(size=(8, 32, 32, 3)).astype(np.float32),
+        "labels": rng.integers(0, 3, 8).astype(np.int32),
+        "source": rng.integers(0, 2, 8).astype(np.int32),
+        "canvases_u": rng.integers(0, 255, (16, 40, 40, 3)
+                                   ).astype(np.uint8),
+        "valid_hw_u": np.full((16, 2), 40, np.int32),
+    }
+
+    def run(mesh):
+        state, tx = create_train_state(
+            params, head, "fixmatch", lr_classifier=1e-3,
+            lr_backbone=1e-4, total_iter=10)
+        # threshold 0.38 so the pseudo-label mask engages PARTIALLY
+        # (measured 0.56 on this fixture) on an untrained 3-class model:
+        # 0.95 would zero the consistency term, 0 would saturate it —
+        # either way hiding a per-shard-mean bug
+        step = S.make_fixmatch_step(model, tx, threshold=0.38,
+                                    image_size=32, aux=True)
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        if mesh is not None:
+            batch = {k: jax.device_put(
+                v, NamedSharding(mesh, P("data", *[None] * (v.ndim - 1))))
+                for k, v in batch.items()}
+            state = jax.device_put(state, NamedSharding(mesh, P()))
+        new_state, (loss, mask_rate, loss_u) = step(
+            state, batch, jax.random.PRNGKey(3))
+        return (float(loss), float(mask_rate), float(loss_u),
+                np.asarray(new_state.head))
+
+    loss_1, mask_1, lu_1, head_1 = run(None)
+    mesh = create_mesh(MeshSpec(data=8, model=1))
+    loss_8, mask_8, lu_8, head_8 = run(mesh)
+
+    # the consistency term must engage PARTIALLY for this to test anything
+    assert 0.0 < mask_1 < 1.0 and lu_1 > 0.0
+    assert loss_1 == pytest.approx(loss_8, rel=1e-5)
+    assert mask_1 == pytest.approx(mask_8, abs=1e-9)
+    assert lu_1 == pytest.approx(lu_8, rel=1e-5)
+    np.testing.assert_allclose(head_1, head_8, rtol=1e-5, atol=1e-7)
+
+
 def test_dp_sharded_validate_matches_single_device(rng):
     """The eval path every trainer calls: a dp=8 mesh-sharded Evaluator
     must return the same accuracy, loss, and confusion matrix as the
