@@ -16,10 +16,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from swat_tpu.core.mesh import shard_batch
-from swat_tpu.eval.metrics import confusion_matrix_update
 from swat_tpu.models.clip import CLIPModel
 from swat_tpu.models.head import head_logits
 from swat_tpu.train.losses import LossFn, cross_entropy
+
+
+def cm_scatter_add(cm, preds, labels, mask, num_classes: int):
+    """Device-side confusion update (rows=true, cols=pred): one
+    scatter-add per batch inside the jitted eval carry, replacing the
+    per-batch host accumulation (~18 ms tunnel sync each) the reference
+    does via torchmetrics (testing.py:449-458).  Masked-out padding rows
+    contribute 0."""
+    idx = labels * num_classes + preds
+    return (cm.reshape(-1).at[idx].add(mask.astype(cm.dtype))
+            .reshape(num_classes, num_classes))
 
 
 class Evaluator:
@@ -56,8 +66,21 @@ class Evaluator:
                      carry[2] + loss_sum / jnp.maximum(nb, 1))
             return preds, max_logits, carry
 
+        def eval_feats_cm(head, logit_scale, feats, labels, source, mask,
+                          carry, cm):
+            # confusion-path variant: the [C, C] matrix rides the jitted
+            # carry as a device-side scatter-add (like validate_features),
+            # so return_confusion costs ONE host pull per split instead of
+            # one ~18 ms tunnel sync per batch (reference accumulates per
+            # batch on host via torchmetrics, testing.py:449-458)
+            preds, max_logits, carry = eval_feats(
+                head, logit_scale, feats, labels, source, mask, carry)
+            cm = cm_scatter_add(cm, preds, labels, mask, num_classes)
+            return preds, max_logits, carry, cm
+
         self._encode = jax.jit(encode)
         self._eval_feats = jax.jit(eval_feats)
+        self._eval_feats_cm = jax.jit(eval_feats_cm)
         self._mt_eval_cache: dict = {}
 
     def validate(self, params, head, logit_scale, loader, *,
@@ -68,12 +91,13 @@ class Evaluator:
         signature parity with reference validate (testing.py:403).
         ``predict_labels_path`` dumps '<pred> <max_logit>' lines for
         pseudo-labeling (reference testing.py:466-480)."""
-        cm = (np.zeros((self.num_classes, self.num_classes), np.int64)
-              if return_confusion else None)
-        # one jitted call per batch; the (correct, count, loss) carry
-        # rides inside it, so the plain acc/loss path issues NO eager
-        # device ops and syncs once at the end (a host float()/int() per
-        # batch costs one ~18 ms tunnel round trip each)
+        # one jitted call per batch; the (correct, count, loss) carry —
+        # and, with return_confusion, the [C, C] matrix — ride inside it,
+        # so both paths issue NO eager per-batch device ops and sync once
+        # at the end (a host float()/int() per batch costs one ~18 ms
+        # tunnel round trip each)
+        cm_dev = (jnp.zeros((self.num_classes, self.num_classes), jnp.int32)
+                  if return_confusion else None)
         carry = (jnp.int32(0), jnp.int32(0), jnp.float32(0))
         batches = 0
         predicted: list = []
@@ -85,15 +109,16 @@ class Evaluator:
                 feats = batch["features"]
             else:
                 feats = self._encode(params, batch["images"])
-            preds, max_logits, carry = self._eval_feats(
-                head, logit_scale, feats, jnp.asarray(batch["labels"]),
-                jnp.asarray(batch["source"]),
-                jnp.asarray(batch["mask"]), carry)
+            args = (head, logit_scale, feats,
+                    jnp.asarray(batch["labels"]),
+                    jnp.asarray(batch["source"]),
+                    jnp.asarray(batch["mask"]), carry)
+            if return_confusion:
+                preds, max_logits, carry, cm_dev = self._eval_feats_cm(
+                    *args, cm_dev)
+            else:
+                preds, max_logits, carry = self._eval_feats(*args)
             batches += 1
-            if cm is not None:
-                cm = confusion_matrix_update(
-                    cm, np.asarray(preds), np.asarray(batch["labels"]),
-                    np.asarray(batch["mask"]))
             if predict_labels_path:
                 m = np.asarray(batch["mask"])
                 predicted.extend(zip(np.asarray(preds)[m].tolist(),
@@ -102,6 +127,7 @@ class Evaluator:
             with open(predict_labels_path, "w") as f:
                 for pred, logit in predicted:
                     f.write(f"{pred} {logit}\n")
+        cm = np.asarray(cm_dev, np.int64) if return_confusion else None
         acc = int(carry[0]) / max(int(carry[1]), 1) * 100.0
         return acc, float(carry[2]) / max(batches, 1), cm
 
@@ -115,19 +141,20 @@ def validate_multitask(evaluator: Evaluator, params, cls_head, dataset_head,
 
     Returns (acc%, mean_loss, cm, dataset_acc%, dataset_cm)."""
     num_classes = int(np.asarray(cls_head).shape[0])
-    cm = np.zeros((num_classes, num_classes), np.int64)
-    dcm = np.zeros((2, 2), np.int64)
     logit_scale = jnp.asarray(logit_scale, jnp.float32)
 
-    # one jitted kernel per batch (both heads + per-sample loss fused);
-    # cached on the evaluator per loss object so repeated validation
+    # one jitted kernel per batch (both heads + per-sample loss + BOTH
+    # confusion scatter-adds fused into the carry -> O(1) host syncs per
+    # split; multitask validates every epoch, so the old per-batch host
+    # accumulation cost ~batches x 18 ms/epoch over the tunnel); cached
+    # on the evaluator per (loss, num_classes) so repeated validation
     # passes don't retrace
     cache = evaluator.__dict__.setdefault("_mt_eval_cache", {})
-    run = cache.get(loss)
+    run = cache.get((loss, num_classes))
     if run is None:
         @jax.jit
         def run(cls_head, dataset_head, logit_scale, feats, labels,
-                source, mask, carry):
+                source, mask, carry, cm, dcm):
             logits = head_logits(cls_head, feats)
             d_preds = jnp.argmax(head_logits(dataset_head, feats), axis=-1)
             preds = jnp.argmax(logits, axis=-1)
@@ -138,30 +165,30 @@ def validate_multitask(evaluator: Evaluator, params, cls_head, dataset_head,
                      carry[1] + jnp.sum((d_preds == source) & mask),
                      carry[2] + nb,
                      carry[3] + jnp.sum(per * mask) / jnp.maximum(nb, 1))
-            return preds, d_preds, carry
+            cm = cm_scatter_add(cm, preds, labels, mask, num_classes)
+            dcm = cm_scatter_add(dcm, d_preds, source, mask, 2)
+            return carry, cm, dcm
 
-        cache[loss] = run
+        cache[(loss, num_classes)] = run
 
     carry = (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.float32(0))
+    cm = jnp.zeros((num_classes, num_classes), jnp.int32)
+    dcm = jnp.zeros((2, 2), jnp.int32)
     batches = 0
     cls_head = jnp.asarray(cls_head)
     dataset_head = jnp.asarray(dataset_head)
     for batch in loader:
         feats = evaluator._encode(params, batch["images"])
-        preds, d_preds, carry = run(
+        carry, cm, dcm = run(
             cls_head, dataset_head, logit_scale, feats,
             jnp.asarray(batch["labels"]), jnp.asarray(batch["source"]),
-            jnp.asarray(batch["mask"]), carry)
+            jnp.asarray(batch["mask"]), carry, cm, dcm)
         batches += 1
-        mask = np.asarray(batch["mask"])
-        cm = confusion_matrix_update(cm, np.asarray(preds),
-                                     np.asarray(batch["labels"]), mask)
-        dcm = confusion_matrix_update(dcm, np.asarray(d_preds),
-                                      np.asarray(batch["source"]), mask)
     count = max(int(carry[2]), 1)
     acc = int(carry[0]) / count * 100.0
     d_acc = int(carry[1]) / count * 100.0
-    return acc, float(carry[3]) / max(batches, 1), cm, d_acc, dcm
+    return (acc, float(carry[3]) / max(batches, 1),
+            np.asarray(cm, np.int64), d_acc, np.asarray(dcm, np.int64))
 
 
 def _per_sample_loss(loss: LossFn, logits, labels, source):

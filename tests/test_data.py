@@ -169,6 +169,48 @@ def test_calculate_scores_and_cm():
     assert cm2.sum() == 3
 
 
+def test_device_confusion_matches_host_path():
+    """The device-side scatter-add confusion carry (Evaluator.validate
+    with return_confusion, VERDICT r3 item 6) must equal the host
+    bincount path over the same padded multi-batch stream, including
+    masked padding rows."""
+    import jax.numpy as jnp
+
+    from swat_tpu.eval.validate import Evaluator
+
+    num_classes, dim, bsz = 5, 6, 4
+    rng = np.random.default_rng(3)
+    head = rng.normal(size=(num_classes, dim)).astype(np.float32)
+    batches = []
+    for i in range(3):
+        feats = rng.normal(size=(bsz, dim)).astype(np.float32)
+        feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+        mask = np.ones(bsz, bool)
+        if i == 2:
+            mask[2:] = False         # ragged final batch padding
+        batches.append({"features": feats,
+                        "labels": rng.integers(0, num_classes, bsz),
+                        "source": np.zeros(bsz, np.int64),
+                        "mask": mask})
+
+    ev = Evaluator(None, num_classes)   # model unused on the feature path
+    acc, loss, cm = ev.validate(None, jnp.asarray(head), 0.0, batches,
+                                pre_extracted=True, return_confusion=True)
+
+    host_cm = np.zeros((num_classes, num_classes), np.int64)
+    n_correct = n_valid = 0
+    for b in batches:
+        preds = np.argmax(b["features"] @ head.T, axis=-1)
+        host_cm = confusion_matrix_update(host_cm, preds, b["labels"],
+                                          b["mask"])
+        n_correct += int(((preds == b["labels"]) & b["mask"]).sum())
+        n_valid += int(b["mask"].sum())
+    np.testing.assert_array_equal(cm, host_cm)
+    assert cm.sum() == n_valid          # padding rows contributed nothing
+    assert acc == pytest.approx(n_correct / n_valid * 100.0)
+    assert np.isfinite(loss)
+
+
 def test_attribute_prompts():
     from swat_tpu.data.prompts import make_attribute_prompts
 
