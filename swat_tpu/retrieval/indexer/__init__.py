@@ -15,15 +15,17 @@ _SO = os.path.join(_DIR, "libcaptionindex.so")
 
 
 def build_library(force: bool = False) -> Optional[str]:
-    """Compile the shared library (g++) if missing; returns path or None."""
-    if os.path.exists(_SO) and not force:
-        return _SO
+    """Compile the shared library (g++) if missing or stale; returns
+    path or None.  `make` runs even when the .so exists — its mtime rule
+    is what keeps a stale binary from shadowing caption_index.cpp edits
+    (a no-op rebuild costs ~10 ms)."""
     try:
-        subprocess.run(["make", "-C", _DIR, "libcaptionindex.so"],
+        subprocess.run(["make", "-C", _DIR, "libcaptionindex.so"]
+                       + (["-B"] if force else []),
                        check=True, capture_output=True)
-        return _SO if os.path.exists(_SO) else None
     except (subprocess.CalledProcessError, FileNotFoundError):
-        return None
+        pass
+    return _SO if os.path.exists(_SO) else None
 
 
 _lib = None

@@ -59,17 +59,47 @@ struct Handle {
   FlatIndex* flat = nullptr;
 };
 
+// unicode61-style Latin diacritic folding (NFD base letter), generated
+// from unicodedata and differential-fuzzed against the python engine's
+// _fold_diacritics: U+00C0-U+00FF and U+0100-U+017F ('.' = no
+// decomposition -> the character acts as a token separator, same as the
+// python engine; a documented divergence from unicode61 for ø/æ/ß and
+// non-Latin scripts, PARITY.md).
+static const char kLatin1Fold[] =
+    "aaaaaa.ceeeeiiii.nooooo..uuuuy..aaaaaa.ceeeeiiii.nooooo..uuuuy.y";
+static const char kLatinAFold[] =
+    "aaaaaaccccccccdd..eeeeeeeeeegggggggghh..iiiiiiiii...jjkk.llllll."
+    "...nnnnnn...oooooo..rrrrrrsssssssstttt..uuuuuuuuuuuuwwyyyzzzzzz.";
+
 inline void tokenize(const std::string& text, std::vector<std::string>* out) {
   std::string cur;
-  for (unsigned char c : text) {
-    if (std::isalnum(c)) {
-      cur.push_back(static_cast<char>(std::tolower(c)));
-    } else if (!cur.empty()) {
-      out->push_back(cur);
-      cur.clear();
+  auto flush = [&]() {
+    if (!cur.empty()) { out->push_back(cur); cur.clear(); }
+  };
+  const unsigned char* p =
+      reinterpret_cast<const unsigned char*>(text.data());
+  const size_t n = text.size();
+  for (size_t i = 0; i < n; ++i) {
+    const unsigned char c = p[i];
+    if (c < 0x80) {
+      if (std::isalnum(c)) cur.push_back(static_cast<char>(std::tolower(c)));
+      else flush();
+      continue;
     }
+    char folded = 0;
+    if ((c == 0xC3 || c == 0xC4 || c == 0xC5) && i + 1 < n &&
+        (p[i + 1] & 0xC0) == 0x80) {
+      const unsigned cp = ((c & 0x1Fu) << 6) | (p[i + 1] & 0x3Fu);
+      char m = '.';
+      if (cp >= 0xC0 && cp < 0x100) m = kLatin1Fold[cp - 0xC0];
+      else if (cp >= 0x100 && cp < 0x180) m = kLatinAFold[cp - 0x100];
+      if (m != '.') folded = m;
+      ++i;  // consume the continuation byte either way
+    }
+    if (folded) cur.push_back(folded);
+    else flush();  // unfoldable non-ASCII separates tokens
   }
-  if (!cur.empty()) out->push_back(cur);
+  flush();
 }
 
 // caption normalization: quotes removed, '-'/'_' -> space (the tokenizer

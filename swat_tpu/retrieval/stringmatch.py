@@ -9,8 +9,13 @@ matching semantics run against an in-memory inverted index:
   '-'/'_' -> space; laion_parser.py:72) plus FTS5's case-insensitive
   tokenization;
 * query normalization identical to ``clean_text`` + ``parse_multi_words``
-  (:257-258, :95-102): AND-of-tokens, with *phrase* semantics when the raw
-  name contains parentheses, '.' or '/';
+  (:257-258, :95-102): PHRASE-of-tokens.  FTS5's ``+`` is the phrase
+  concatenation operator — ``MATCH 'tok + tok'`` requires the tokens
+  ADJACENT IN ORDER, exactly like the quoted ``MATCH '"tok + tok"'``
+  branch (verified against stdlib sqlite3 FTS5; the reference's in-code
+  comment claiming '+' means all-of-the-tokens, laion_parser.py:102,
+  describes FTS5 incorrectly — the executed semantics are phrase, and
+  those are what retrieved pools were built with);
 * per-class synonym loop with cross-synonym caption dedup and frequency
   counting (:129-182);
 * ``find_most_common_name`` with the RELAXED/STRICT subset rules
@@ -48,16 +53,36 @@ def normalize_caption(text: str) -> str:
             .replace("-", " ").replace("_", " "))
 
 
+def _fold_diacritics(text: str) -> str:
+    """unicode61's remove_diacritics: NFD-decompose, drop combining
+    marks — 'café' tokenizes to 'cafe' exactly as FTS5 does (the shipped
+    metrics contain 7 accented synonyms: café, château, caffè, pâté,
+    français, sauté).  Non-decomposable non-ASCII (ø, æ, ß, non-Latin
+    scripts) stays non-token and acts as a separator in BOTH our engines
+    — a documented divergence from unicode61, which keeps those as token
+    characters (PARITY.md)."""
+    import unicodedata
+
+    d = unicodedata.normalize("NFD", text)
+    return "".join(ch for ch in d if not unicodedata.combining(ch))
+
+
 def tokenize(text: str) -> List[str]:
-    """Lower-case alphanumeric tokens (FTS5 unicode61-style for ASCII)."""
+    """Lower-case alphanumeric tokens (FTS5 unicode61-style: ASCII +
+    Latin diacritic folding)."""
+    if not text.isascii():
+        text = _fold_diacritics(text)
     return _TOKEN_RE.findall(text.lower())
 
 
 def is_phrase_query(raw_name: str) -> bool:
-    """Names with parens / '.' / '/' are phrase-matched (laion_parser.py:84,
-    159)."""
-    return ("(" in raw_name and ")" in raw_name) or "." in raw_name \
-        or "/" in raw_name
+    """Every multi-word name is phrase-matched: the reference's unquoted
+    ``MATCH 'tok + tok'`` (laion_parser.py:159-167) and its quoted
+    parens/'.'-'/' branch (:84,:159) are BOTH FTS5 phrase queries — '+'
+    is FTS5's phrase concatenation operator, so the two branches differ
+    only in special-character escaping, not semantics (verified against
+    stdlib sqlite3 FTS5; tests/test_retrieval.py fts5-oracle test)."""
+    return True
 
 
 class CaptionIndex:
