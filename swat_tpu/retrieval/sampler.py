@@ -348,10 +348,13 @@ def sample_retrieved_fused(
 
     dropped = np.zeros(n, bool)
     if remove_duplicates:
-        for cls in pool.classes():
-            idx = pool.class_indices(cls)
-            local = R.near_duplicate_indices(pool.image_feats[idx])
-            dropped[idx[local]] = True
+        # fused: all classes in a few padded [G, M, M] masked pairwise
+        # passes (rank.near_duplicate_indices_by_class) — the per-class
+        # loop was 1 device dispatch PER CLASS (~18 ms each over the
+        # tunnel; 1,000 sequential calls at ImageNet scale), breaking
+        # this path's O(1)-dispatch contract (VERDICT r3 item 9)
+        dropped[R.near_duplicate_indices_by_class(
+            pool.image_feats, labels)] = True
     if zeroshot_filter_head is not None:
         bad = R.zeroshot_misclassified(
             pool.image_feats, labels, zeroshot_filter_head)
