@@ -25,7 +25,12 @@ FWD_GFLOP = {"vitb32": 8.85, "vitb16": 35.1, "vitl14": 161.4,
              "rn50": 12.2}  # CLIP ModifiedResNet ~6.1 GMAC/img
 
 
-def bench_one(model_cfg: str, bsz: int, remat: bool = False):
+def bench_one(model_cfg: str, bsz: int, remat: bool = False,
+              attn: str = "auto"):
+    """attn: 'auto' (the production _pick_pallas policy), 'pallas'
+    (force the fused packed-attention kernel), 'xla' (force XLA
+    autodiff attention) — the r4 L/14 MFU sweep co-optimizes this with
+    the remat policy (scripts/ablate_l14_mfu.py)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -40,7 +45,10 @@ def bench_one(model_cfg: str, bsz: int, remat: bool = False):
     cfg = get_model_config(model_cfg)
     # L/14 fwd+bwd at bsz 64 needs 16.5G HBM vs the chip's 15.75G —
     # gradient remat is REQUIRED for single-chip L/14 training
-    model = CLIPModel(cfg, remat=remat)
+    model = CLIPModel(cfg, remat=remat, use_pallas=(attn == "pallas"))
+    saved_min_seq = F._PALLAS_TRAIN_MIN_SEQ
+    if attn == "xla":
+        F._PALLAS_TRAIN_MIN_SEQ = 1 << 30   # auto-enable never fires
     params = model.init(
         jax.random.PRNGKey(0),
         jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3),
@@ -98,12 +106,15 @@ def bench_one(model_cfg: str, bsz: int, remat: bool = False):
         _ = float(out)
         return (time.perf_counter() - t0) / (reps * STEPS) * 1e3
 
-    train_ms = timed(train_epoch, state, images)
-    infer_ms = timed(infer_epoch, state.model, images)
+    try:
+        train_ms = timed(train_epoch, state, images)
+        infer_ms = timed(infer_epoch, state.model, images)
+    finally:
+        F._PALLAS_TRAIN_MIN_SEQ = saved_min_seq
     key = model_cfg.split("_")[0]
     gflop = FWD_GFLOP.get(key)
     out = {
-        "model_cfg": model_cfg, "bsz": bsz, "remat": remat,
+        "model_cfg": model_cfg, "bsz": bsz, "remat": remat, "attn": attn,
         "train_ms_per_step": round(train_ms, 2),
         "train_img_per_sec": round(bsz / train_ms * 1e3, 1),
         "infer_fwd_ms": round(infer_ms, 2),
