@@ -320,6 +320,60 @@ def plot_domain_gap(measured: Dict[str, Dict[str, float]],
     return datasets
 
 
+def match_vs_download_counts(class_frequency: Dict[str, object],
+                             download_counts: Dict[int, int]
+                             ) -> Dict[int, Dict[str, int]]:
+    """retrieval_analysis.ipynb cell 1 (lines 1-30) — join per-class
+    string-match frequency with per-class downloaded-image counts, sorted
+    by match frequency descending.  ``class_frequency`` accepts both the
+    reference's nested ``{class: {"actual_freq": n}}`` JSON
+    (laion_parser.py:231-233) and this repo's flat ``{class: n}``
+    ``*_class_frequency.json``."""
+    out = {}
+    for k, v in class_frequency.items():
+        freq = int(v["actual_freq"]) if isinstance(v, dict) else int(v)
+        out[int(k)] = {"match_ct": freq,
+                       "download_ct": int(download_counts.get(int(k), 0))}
+    return dict(sorted(out.items(), key=lambda kv: kv[1]["match_ct"],
+                       reverse=True))
+
+
+def read_download_counts(path: str) -> Dict[int, int]:
+    """Parse the notebook's ``download_ct.txt`` line format
+    (``... <class_id> ... <count>`` — fields 1 and 3)."""
+    counts = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.split(" ")
+            if len(parts) >= 4:
+                counts[int(parts[1])] = int(parts[3])
+    return counts
+
+
+def plot_match_vs_download(class_frequency: Dict[str, object],
+                           download_counts: Dict[int, int],
+                           out_png: Optional[str] = None) -> np.ndarray:
+    """retrieval_analysis.ipynb cell 1 (lines 32-60) — matched-caption vs
+    downloaded-image counts per class, sorted by match frequency, log-y."""
+    plt = _plt()
+    joined = match_vs_download_counts(class_frequency, download_counts)
+    match = np.asarray([v["match_ct"] for v in joined.values()])
+    down = np.asarray([v["download_ct"] for v in joined.values()])
+    fig, ax = plt.subplots(figsize=(5, 3))
+    xs = np.arange(len(joined))
+    ax.plot(xs, match, label="String Matching")
+    ax.plot(xs, down, label="Downloaded")
+    ax.set_yscale("log")
+    ax.set_xlabel("Class")
+    ax.set_ylabel("Frequency")
+    ax.legend()
+    fig.tight_layout()
+    if out_png:
+        fig.savefig(out_png)
+    plt.close(fig)
+    return np.stack([match, down])
+
+
 def ablate_table(configs: Dict[str, str],
                  acc_col: str = "Stage2LPAcc") -> List[dict]:
     """table4_ablate_SWAT/get_dataset_accuracy.py:22-108 — one row per
@@ -368,6 +422,13 @@ def main(argv=None):
                     help="name=path pairs of *_num_imgs_sampled.json")
     im.add_argument("--out", required=True)
 
+    mv = sub.add_parser("match-vs-download")
+    mv.add_argument("--class_frequency", required=True,
+                    help="*_class_frequency.json (flat or reference nested)")
+    mv.add_argument("--download_ct", required=True,
+                    help="download_ct.txt ('... <class> ... <count>' lines)")
+    mv.add_argument("--out", required=True)
+
     at = sub.add_parser("ablate-table")
     at.add_argument("--configs", nargs="+", required=True,
                     help="name=results.csv pairs")
@@ -387,6 +448,12 @@ def main(argv=None):
             with open(path) as f:
                 counts[name] = json.load(f)
         plot_sorted_retrieved_counts(counts, args.out)
+        print(f"Wrote {args.out}")
+    elif args.cmd == "match-vs-download":
+        with open(args.class_frequency) as f:
+            freq = json.load(f)
+        plot_match_vs_download(freq, read_download_counts(args.download_ct),
+                               args.out)
         print(f"Wrote {args.out}")
     elif args.cmd == "ablate-table":
         configs = dict(pair.split("=", 1) for pair in args.configs)

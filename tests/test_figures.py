@@ -165,3 +165,31 @@ def test_ablate_table(tmp_path):
     assert tab[0]["semi-aves@4"] == 58.5
     assert tab[0]["dtd@4"] == 66.0
     assert tab[0]["mean"] == pytest.approx(62.2, abs=0.1)
+
+
+def test_match_vs_download(tmp_path):
+    """retrieval_analysis.ipynb port: join + sort + log-y curve, both
+    class_frequency JSON formats (reference nested / repo flat)."""
+    from swat_tpu.analysis.figures import (match_vs_download_counts,
+                                           plot_match_vs_download,
+                                           read_download_counts)
+
+    nested = {"0": {"name": "a", "actual_freq": 10},
+              "1": {"name": "b", "actual_freq": 300},
+              "2": {"name": "c", "actual_freq": 40}}
+    flat = {"0": 10, "1": 300, "2": 40}
+    dl = tmp_path / "download_ct.txt"
+    dl.write_text("class 0 ct 7\nclass 1 ct 250\nclass 2 ct 40\n")
+    counts = read_download_counts(str(dl))
+    assert counts == {0: 7, 1: 250, 2: 40}
+
+    j1 = match_vs_download_counts(nested, counts)
+    j2 = match_vs_download_counts(flat, counts)
+    assert j1 == j2
+    assert list(j1) == [1, 2, 0]  # sorted by match_ct desc
+    assert j1[1] == {"match_ct": 300, "download_ct": 250}
+
+    out = tmp_path / "match.png"
+    arr = plot_match_vs_download(flat, counts, str(out))
+    assert out.exists()
+    assert arr.shape == (2, 3) and arr[0].tolist() == [300, 40, 10]
