@@ -10,14 +10,21 @@ block ('full') changes both HBM and recompute — this grid finds the
 fastest feasible (policy, kernel) pair per model.  OOMs are data points
 (reported as JSON), not crashes.
 
+Each grid point runs in its OWN subprocess (scripts/bench_models.py
+<cfg> --bsz --remat --attn): a failed L/14 compile presents as the axon
+HTTP-500 compile-helper error AND leaks HBM server-side — after one, all
+later allocations in the same process RESOURCE_EXHAUST (measured r4).
+Known-likely-OOM points (L/14 without remat) run LAST for the same
+reason.
+
 Reference match: the hot call utils/training.py:1474 at the shapes of
 utils/extras.py:97-114 (ViT-L-14, bsz-32-class configs).
 
 Usage: python scripts/ablate_l14_mfu.py [model_cfg ...] [--bsz N]
 """
 
-import json
 import os
+import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -25,11 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/tmp/swat_jax_cache")
     from _common import parse_models_bsz
-    from bench_models import bench_one
 
     cfgs, bsz_over = parse_models_bsz(sys.argv[1:])
     runs = []
@@ -38,17 +41,24 @@ def main():
         bsz = bsz_over or (64 if "vitl14" in c else 128)
         runs.append((c, bsz))
 
+    bench = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_models.py")
+    grid = []
     for c, bsz in runs:
-        grid = [(remat, attn)
-                for remat in (False, "dots_all", "dots", "full")
-                for attn in ("pallas", "xla")]
-        for remat, attn in grid:
-            try:
-                bench_one(c, bsz, remat=remat, attn=attn)
-            except Exception as e:   # OOM is part of the answer
-                print(json.dumps({"model_cfg": c, "bsz": bsz,
-                                  "remat": str(remat), "attn": attn,
-                                  "error": repr(e)[:160]}), flush=True)
+        for remat in ("dots", "dots_all", "full", "False"):
+            for attn in ("pallas", "xla"):
+                # L/14 fwd+bwd without remat needs 16.5G vs 15.75G HBM:
+                # expected OOM — keep it as a trailing data point so its
+                # leaked-HBM failure mode can't shadow feasible configs
+                oomish = remat == "False" and "vitl14" in c
+                grid.append((oomish, c, bsz, remat, attn))
+    grid.sort(key=lambda g: g[0])
+
+    for _, c, bsz, remat, attn in grid:
+        # one process per point; never killed (a timeout-kill mid-compile
+        # wedges the chip) — a clean OOM exit is itself the data point
+        subprocess.run([sys.executable, bench, c, f"--bsz={bsz}",
+                        f"--remat={remat}", f"--attn={attn}"])
 
 
 if __name__ == "__main__":

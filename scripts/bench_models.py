@@ -129,22 +129,41 @@ def bench_one(model_cfg: str, bsz: int, remat: bool = False,
 
 
 def main():
+    import argparse
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/swat_jax_cache")
-    from _common import default_bsz, parse_models_bsz
+    from _common import default_bsz
 
-    cfgs, bsz_over = parse_models_bsz(sys.argv[1:])
-    cfgs = cfgs or ["vitb32_openclip_laion400m",
-                    "vitb16_openclip_laion400m",
-                    "vitl14_openclip_laion400m"]
+    # --remat/--attn exist so ablate_l14_mfu.py can run each grid point
+    # in its OWN process: a failed L/14 compile (the HTTP-500 HBM-OOM
+    # presentation) leaks device memory in the axon compile helper and
+    # every later allocation in the same process RESOURCE_EXHAUSTs
+    ap = argparse.ArgumentParser()
+    ap.add_argument("model_cfgs", nargs="*")
+    ap.add_argument("--bsz", type=int, default=None)
+    ap.add_argument("--remat", default=None,
+                    help="False/dots/dots_all/full; default: L/14 only")
+    ap.add_argument("--attn", default="auto",
+                    choices=["auto", "pallas", "xla"])
+    args = ap.parse_args()
+
+    cfgs = args.model_cfgs or ["vitb32_openclip_laion400m",
+                               "vitb16_openclip_laion400m",
+                               "vitl14_openclip_laion400m"]
     for c in cfgs:
         # HBM on one v5e chip: B/16 train OOMs at 256, L/14 at 128
-        bsz = bsz_over or default_bsz(c)
+        bsz = args.bsz or default_bsz(c)
+        if args.remat is None:
+            remat = "vitl14" in c
+        else:
+            remat = False if args.remat == "False" else args.remat
         try:
-            bench_one(c, bsz, remat="vitl14" in c)
+            bench_one(c, bsz, remat=remat, attn=args.attn)
         except Exception as e:  # keep later configs running
             print(json.dumps({"model_cfg": c, "bsz": bsz,
+                              "remat": str(remat), "attn": args.attn,
                               "error": repr(e)[:200]}), flush=True)
 
 
