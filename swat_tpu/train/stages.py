@@ -60,6 +60,26 @@ from swat_tpu.train.trainer import compose_twin, train_loop
 from swat_tpu.utils.logging import set_logger
 
 
+def auto_remat(model_cfg: str, remat, bsz: int, n_devices: int):
+    """Pick the effective remat policy for one run.
+
+    ViT-L/14 fwd+bwd at bsz>=64 needs ~16.5G HBM vs a v5e chip's 15.75G,
+    and the r4 isolated sweep (scripts/ablate_l14_mfu.py) measured that
+    the selective policies (dots / dots_all) ALSO exhaust HBM at that
+    shape — full block remat is the only single-chip policy that fits
+    (159 img/s with the packed pallas kernel, 39% nominal MFU). When the
+    user left --remat unset for that configuration, enable it rather
+    than letting compilation fail with the axon HTTP-500 / OOM. An
+    explicit --remat value, a multi-device mesh, or the reference's
+    bsz-32 config (utils/extras.py:97-114 trains L/14 at bsz 32 on an
+    80GB A100) are all left untouched.
+    """
+    if ("vitl14" in model_cfg and not remat and bsz >= 64
+            and n_devices == 1):
+        return "full"
+    return remat
+
+
 class SwatPipeline:
     """Holds the model, prompts, heads, and loaders for one run."""
 
@@ -87,19 +107,22 @@ class SwatPipeline:
         self.model_cfg = get_model_config(cfg.model_cfg)
         precision = (FP32_PRECISION if cfg.compute_dtype == "float32"
                      else DEFAULT_PRECISION)
-        self.model = CLIPModel(self.model_cfg, precision=precision,
-                               remat=cfg.remat, use_pallas=cfg.use_pallas)
-        if ("vitl14" in cfg.model_cfg and not cfg.remat
-                and cfg.bsz >= 64 and len(jax.devices()) == 1):
-            # measured: L/14 fwd+bwd at bsz 64 needs 16.5G HBM vs a v5e
-            # chip's 15.75G (scripts/bench_models.py); the reference's
-            # bsz-32 config fits without remat
+        remat = auto_remat(cfg.model_cfg, cfg.remat, cfg.bsz,
+                           len(jax.devices()))
+        if remat != cfg.remat:
+            # measured (scripts/ablate_l14_mfu.py): L/14 fwd+bwd at bsz 64
+            # needs 16.5G HBM vs a v5e chip's 15.75G, and the selective
+            # policies (dots/dots_all) RESOURCE_EXHAUST too — full block
+            # remat is the only policy that fits, and with the packed
+            # pallas attention kernel trains at 159 img/s (39% nominal
+            # MFU) vs a guaranteed compile-time OOM without it
             self.logger.warning(
-                "ViT-L/14 training at bsz>=64 on one chip usually "
-                "exceeds HBM — pass --remat dots (selective checkpoint; "
-                "fastest mode that fits, scripts/ablate_remat.py), "
-                "--remat True, or shard with --mesh_data if compilation "
-                "reports out-of-memory.")
+                "ViT-L/14 at bsz>=64 on one chip exceeds HBM without "
+                "rematerialisation — auto-enabling --remat full (the only "
+                "policy measured to fit, scripts/ablate_l14_mfu.py). Pass "
+                "--remat explicitly or shard with --mesh_data to override.")
+        self.model = CLIPModel(self.model_cfg, precision=precision,
+                               remat=remat, use_pallas=cfg.use_pallas)
 
         # ---- pretrained weights (reference set_model, utils/models.py:11)
         if cfg.checkpoint_path:

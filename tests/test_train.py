@@ -325,3 +325,28 @@ def test_load_best_model_three_formats(tmp_path):
     save_bundle(p4, {"something": {"x": np.zeros(2)}})
     with pytest.raises(ValueError):
         load_best_model(p4, template, head_t)
+
+
+def test_auto_remat_policy():
+    """L/14 single-chip bsz>=64 with --remat unset auto-enables full block
+    remat — the only policy the r4 isolated sweep measured to fit one v5e
+    chip (scripts/ablate_l14_mfu.py: dots / dots_all RESOURCE_EXHAUST at
+    bsz 64). Everything else keeps the user's value untouched."""
+    from swat_tpu.train.stages import auto_remat
+
+    # the auto-enable case
+    assert auto_remat("vitl14_openclip_laion400m", False, 64, 1) == "full"
+    assert auto_remat("vitl14_openclip_laion400m", False, 128, 1) == "full"
+
+    # explicit user choice wins (even a policy known to OOM: explicit
+    # flags are never second-guessed)
+    assert auto_remat("vitl14_openclip_laion400m", "dots", 64, 1) == "dots"
+    assert auto_remat("vitl14_openclip_laion400m", True, 64, 1) is True
+
+    # the reference's bsz-32 config fits without remat
+    assert auto_remat("vitl14_openclip_laion400m", False, 32, 1) is False
+    # sharded runs split activations over the mesh
+    assert auto_remat("vitl14_openclip_laion400m", False, 64, 8) is False
+    # smaller towers never need it
+    assert auto_remat("vitb16_openclip_laion400m", False, 128, 1) is False
+    assert auto_remat("vitb32_openclip_laion400m", False, 256, 1) is False
