@@ -20,6 +20,39 @@ from swat_tpu.core.mesh import shard_batch
 from swat_tpu.models.clip import CLIPModel
 
 
+def make_text_encoder(model: CLIPModel, params):
+    """Jitted ``tokens -> [N, D] normalized text features`` with params
+    bound as a RUNTIME argument, never a closure.
+
+    Closing a jit over the param tree bakes every touched leaf into the
+    lowered module as a dense literal (~2 bytes of MLIR text per byte of
+    weight), so the serialized compile request scales with model size:
+    an L/14 text tower is ~340 MB of fp32 and the axon remote-compile
+    endpoint rejects the resulting body with HTTP 413 (measured; B/32
+    slipped under the limit, which is why this survived three rounds).
+    Binding params as an argument keeps the program size shape-only and
+    re-uses the device-resident tree by reference.  Single home for the
+    text-encode jit used by prompt building (train/stages.py), the
+    synonym filter (retrieval/cli.py), and mined-caption extraction
+    (retrieval/mined.py) — reference utils/features.py:30-59 and
+    retrieval/extract_mined_feature.py:103-213 run these eagerly in
+    torch and have no analogous constraint."""
+
+    @jax.jit
+    def encode(p, tokens):
+        from swat_tpu.models import functional as F
+
+        return F.encode_text(model, p, tokens, normalize=True,
+                             mode="infer")
+
+    def encode_fn(tokens):
+        return encode(params, tokens)
+
+    encode_fn._jitted = encode  # exposed for the no-baked-constants test
+    encode_fn._params = params
+    return encode_fn
+
+
 def batched_encode(encode_fn, tokens: "np.ndarray",
                    batch_size: int = 1024) -> "np.ndarray":
     """Encode [N, ctx] token rows through a jitted encode_fn in fixed-size

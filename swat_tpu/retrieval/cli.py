@@ -94,12 +94,9 @@ def cmd_filter_synonyms(args):
         print("WARNING: random weights (no --checkpoint_path)")
     params = jax.device_put(params)
 
-    @jax.jit
-    def encode(tokens):
-        from swat_tpu.models import functional as F
+    from swat_tpu.data.features import make_text_encoder
 
-        return F.encode_text(model, params, tokens, normalize=True,
-                             mode="infer")
+    encode = make_text_encoder(model, params)
 
     with open(args.synonyms) as f:
         names = json.load(f)

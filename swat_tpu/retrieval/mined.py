@@ -70,10 +70,7 @@ def extract_mined_features(model, params, samples: List[Sample],
     """Returns {'image_features', 'caption_features', 'labels',
     'file_paths', 'captions'} — the reference's {ds}_{model}_mined.pth
     bundle (extract_mined_feature.py:252-280)."""
-    import jax
-
     from swat_tpu.data.features import extract_image_features
-    from swat_tpu.models.clip import CLIPModel
 
     loader = EvalLoader(samples, batch_size=batch_size, n_px=image_size,
                         num_workers=num_workers)
@@ -84,14 +81,9 @@ def extract_mined_features(model, params, samples: List[Sample],
         context_length = model.cfg.text.context_length
     tokens = tokenizer(captions, context_length)
 
-    @jax.jit
-    def encode_text(tok):
-        from swat_tpu.models import functional as F
+    from swat_tpu.data.features import batched_encode, make_text_encoder
 
-        return F.encode_text(model, params, tok, normalize=True,
-                             mode="infer")
-
-    from swat_tpu.data.features import batched_encode
+    encode_text = make_text_encoder(model, params)
 
     cap_feats = batched_encode(encode_text, np.asarray(tokens), batch_size)
     return {

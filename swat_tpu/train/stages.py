@@ -191,16 +191,9 @@ class SwatPipeline:
                         cls_num_list=cls_num_list)
 
     def _encode_text_fn(self, params):
-        model = self.model
+        from swat_tpu.data.features import make_text_encoder
 
-        @jax.jit
-        def encode(tokens):
-            from swat_tpu.models import functional as F
-
-            return F.encode_text(model, params, tokens, normalize=True,
-                                 mode="infer")
-
-        return encode
+        return make_text_encoder(self.model, params)
 
     def _build_prompts(self):
         cfg = self.cfg

@@ -421,3 +421,55 @@ def test_device_prefetch_double_buffer():
     next(gen)
     gen.close()
     assert closed == [True]
+
+
+def test_text_encoder_bakes_no_param_constants(rng):
+    """make_text_encoder must bind params as a runtime ARGUMENT: closing
+    the jit over the tree serializes every touched leaf into the lowered
+    module as a dense literal, and the axon remote-compile endpoint
+    rejects an L/14-sized request body with HTTP 413 (measured r4 — the
+    bug that killed L/14 prompt encoding while B/32 slipped under the
+    limit).  Guard: the arg-bound lowering must be an order of magnitude
+    smaller than the closure lowering of the same program, and must
+    produce identical features."""
+    import jax
+    import jax.numpy as jnp
+
+    from swat_tpu.data.features import make_text_encoder
+    from swat_tpu.models import functional as F
+    from swat_tpu.models.clip import CLIPModel
+    from swat_tpu.models.configs import get_model_config
+
+    cfg = get_model_config("test_tiny")
+    model = CLIPModel(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3)),
+        jnp.zeros((1, cfg.text.context_length), jnp.int32))["params"]
+    tokens = np.asarray(
+        rng.integers(0, cfg.text.vocab_size, (4, cfg.text.context_length)),
+        np.int32)
+
+    enc = make_text_encoder(model, params)
+    arg_text = enc._jitted.lower(params, tokens).as_text()
+
+    closure = jax.jit(lambda t: F.encode_text(model, params, t,
+                                              normalize=True, mode="infer"))
+    closure_text = closure.lower(tokens).as_text()
+
+    # the vocab embedding table must appear as a dense literal only in
+    # the closure lowering; the arg-bound program is shape-only
+    vocab_ty = f"tensor<{cfg.text.vocab_size}x{cfg.text.width}xf32>"
+    baked_closure = any(vocab_ty in ln and "dense<" in ln
+                        for ln in closure_text.splitlines())
+    baked_arg = any(vocab_ty in ln and "dense<" in ln
+                    for ln in arg_text.splitlines())
+    assert baked_closure and not baked_arg, (baked_closure, baked_arg)
+    # and the literal bloat dominates the module size
+    assert len(arg_text) * 5 < len(closure_text), (
+        len(arg_text), len(closure_text))
+
+    got = np.asarray(enc(tokens))
+    want = np.asarray(closure(tokens))
+    np.testing.assert_array_equal(got, want)
+    assert got.shape == (4, cfg.embed_dim)
