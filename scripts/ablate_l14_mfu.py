@@ -45,7 +45,16 @@ def main():
                          "bench_models.py")
     grid = []
     for c, bsz in runs:
-        for remat in ("dots", "dots_all", "full", "False"):
+        # 'first<K>' (prefix-block remat, r4): the hope was that L/14 is
+        # only ~0.75 GB over the 15.75 GB HBM budget so a small rematted
+        # prefix would fit at K/24 of full remat's recompute.  Measured:
+        # first8 compiled but RESOURCE_EXHAUSTED at runtime; first4 and
+        # first2 OOM'd at compile — XLA's scheduling holds peak memory
+        # well above the live-residual estimate, and full remat stays
+        # the only fitting single-chip L/14 policy.  Kept in the grid so
+        # reruns at other shapes see it.
+        for remat in ("dots", "dots_all", "full", "first8", "first4",
+                      "first2", "False"):
             for attn in ("pallas", "xla"):
                 # L/14 fwd+bwd without remat needs 16.5G vs 15.75G HBM:
                 # expected OOM — keep it as a trailing data point so its

@@ -26,11 +26,13 @@ FWD_GFLOP = {"vitb32": 8.85, "vitb16": 35.1, "vitl14": 161.4,
 
 
 def bench_one(model_cfg: str, bsz: int, remat: bool = False,
-              attn: str = "auto"):
+              attn: str = "auto", accum: int = 1):
     """attn: 'auto' (the production _pick_pallas policy), 'pallas'
     (force the fused packed-attention kernel), 'xla' (force XLA
     autodiff attention) — the r4 L/14 MFU sweep co-optimizes this with
-    the remat policy (scripts/ablate_l14_mfu.py)."""
+    the remat policy (scripts/ablate_l14_mfu.py).  accum>1 measures the
+    gradient-accumulation step (train.steps._accum_value_and_grad): the
+    zero-recompute alternative to remat for L/14 single-chip."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -41,6 +43,7 @@ def bench_one(model_cfg: str, bsz: int, remat: bool = False,
     from swat_tpu.models.head import head_logits
     from swat_tpu.train.losses import cross_entropy
     from swat_tpu.train.state import create_train_state
+    from swat_tpu.train.steps import _accum_value_and_grad
 
     cfg = get_model_config(model_cfg)
     # L/14 fwd+bwd at bsz 64 needs 16.5G HBM vs the chip's 15.75G —
@@ -70,12 +73,23 @@ def bench_one(model_cfg: str, bsz: int, remat: bool = False,
         logits = head_logits(tr["head"], feats) * jnp.exp(tr["logit_scale"])
         return cross_entropy(logits, labels, None)
 
+    def micro_loss(tr, mb):
+        feats = F.encode_image(model, tr["model"], mb["images"],
+                               normalize=True)
+        logits = head_logits(tr["head"], feats) * jnp.exp(tr["logit_scale"])
+        return cross_entropy(logits, mb["labels"], None)
+
     @jax.jit
     def train_epoch(state, images):
         def body(carry, i):
             st, ls = carry
             x = images * (1.0 + 1e-7 * i.astype(jnp.float32))
-            val, grads = jax.value_and_grad(loss_of)(st.trainable, x)
+            if accum > 1:
+                val, grads = _accum_value_and_grad(
+                    st.trainable, micro_loss,
+                    {"images": x, "labels": labels}, accum)
+            else:
+                val, grads = jax.value_and_grad(loss_of)(st.trainable, x)
             upd, new_opt = tx.update(grads, st.opt_state, st.trainable)
             new_tr = jax.tree_util.tree_map(lambda p, u: p + u,
                                             st.trainable, upd)
@@ -115,6 +129,7 @@ def bench_one(model_cfg: str, bsz: int, remat: bool = False,
     gflop = FWD_GFLOP.get(key)
     out = {
         "model_cfg": model_cfg, "bsz": bsz, "remat": remat, "attn": attn,
+        "accum": accum,
         "train_ms_per_step": round(train_ms, 2),
         "train_img_per_sec": round(bsz / train_ms * 1e3, 1),
         "infer_fwd_ms": round(infer_ms, 2),
@@ -147,6 +162,7 @@ def main():
                     help="False/dots/dots_all/full; default: L/14 only")
     ap.add_argument("--attn", default="auto",
                     choices=["auto", "pallas", "xla"])
+    ap.add_argument("--accum", type=int, default=1)
     args = ap.parse_args()
 
     cfgs = args.model_cfgs or ["vitb32_openclip_laion400m",

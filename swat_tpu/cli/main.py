@@ -32,7 +32,8 @@ def str2bool(v):
 
 def str2remat(v):
     """--remat accepts booleans plus the selective checkpoint policies
-    ('full' == True; 'dots' / 'dots_all' save matmul outputs, see
+    ('full' == True; 'dots' / 'dots_all' save matmul outputs; 'first<K>'
+    checkpoints only the first K blocks, see
     models.clip.resolve_remat_policy)."""
     if isinstance(v, bool):
         return v
@@ -40,12 +41,15 @@ def str2remat(v):
         return v.lower()
     if v.lower() == "full":
         return True
+    if v.lower().startswith("first") and v[len("first"):].isdigit() \
+            and int(v[len("first"):]) > 0:
+        return v.lower()
     try:
         return str2bool(v)
     except argparse.ArgumentTypeError:
         raise argparse.ArgumentTypeError(
-            f"--remat expects a boolean, 'full', 'dots' or 'dots_all'; "
-            f"got {v!r}")
+            f"--remat expects a boolean, 'full', 'dots', 'dots_all' or "
+            f"'first<K>'; got {v!r}")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -176,6 +180,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "dots (save projection matmuls, recompute "
                         "attention+elementwise) | dots_all (save every "
                         "matmul incl. attention scores)")
+    p.add_argument("--accum", type=int, default=1,
+                   help="gradient-accumulation microbatches per step "
+                        "(ViT towers only); the batch is mixed/augmented "
+                        "whole, then encode+loss runs per microbatch — "
+                        "same semantics, 1/accum the activation HBM with "
+                        "zero recompute (the remat alternative for L/14 "
+                        "single-chip)")
     p.add_argument("--resident", type=str, default="auto",
                    choices=["auto", "on", "off"],
                    help="whole-epoch-on-device scan execution: auto picks "

@@ -122,7 +122,8 @@ class RunConfig:
     mesh_model: int = 1                       # tensor-parallel axis size
     aug_mode: str = "canvas"                  # 'canvas' (device) | 'host'
     use_pallas: bool = False
-    remat: Union[bool, str] = False  # False | True("full") | "dots" | "dots_all"
+    remat: Union[bool, str] = False  # False | True("full") | "dots" | "dots_all" | "first<K>"
+    accum: int = 1   # microbatches per step (grad accumulation; ViT only)
     compute_dtype: str = "float32"            # reference parity default
     # resident-dataset scan execution: whole epoch / whole eval as one
     # device program (swat_tpu.train.scan_loop)

@@ -141,7 +141,7 @@ class Block(nn.Module):
 
 
 def resolve_remat_policy(remat):
-    """Map the remat flag to (enabled, jax.checkpoint policy).
+    """Map the remat flag to (enabled, jax.checkpoint policy, first_k).
 
     False          -> no remat
     True / 'full'  -> checkpoint everything (recompute the whole block on
@@ -153,24 +153,46 @@ def resolve_remat_policy(remat):
     'dots_all'     -> save every matmul output including the batched
                       attention score matrices (dots_saveable; largest
                       memory of the remat modes, least recompute)
+    'first<K>'     -> full-block checkpoint on the FIRST K blocks only;
+                      the remaining blocks keep all residuals (first_k is
+                      None when not in this mode).  The first blocks are
+                      the cheapest to remat: their saved residuals have
+                      the longest lifetime across the backward pass.
 
     The selective modes trade a little HBM for skipping most of full
-    remat's recompute — the lever for L/14 single-chip training, which
-    needs remat at bsz>=64 (16.5G > 15.75G HBM) but loses ~25% nominal
-    MFU to full-block recompute.
+    remat's recompute — built as the lever for L/14 single-chip training,
+    which needs remat at bsz>=64 (16.5G > 15.75G HBM) but loses ~25%
+    nominal MFU to full-block recompute.  Measured r4 (ablate_l14_mfu.py,
+    one subprocess per point): at L/14 bsz 64 EVERY selective policy
+    OOMs — 'dots'/'dots_all' save the dot outputs, which at S=257 is
+    exactly what does not fit, and even 'first8' (nominally ~3 GB of
+    residuals freed) RESOURCE_EXHAUSTs at runtime while 'first4'/'first2'
+    OOM at compile: XLA's scheduling holds peak memory well above the
+    sum-of-live-residuals estimate.  Full-block remat remains the only
+    fitting single-chip L/14 policy; 'first<K>' is kept as a general
+    policy for other shapes and for sharded runs where per-device
+    activations shrink.
     """
     if not remat:
-        return False, None
+        return False, None, None
     if remat is True or remat == "full":
-        return True, None
+        return True, None, None
+    if isinstance(remat, str) and remat.startswith("first"):
+        suffix = remat[len("first"):]
+        if not suffix.isdigit() or int(suffix) <= 0:
+            raise ValueError(
+                f"remat 'first<K>' needs a positive block count; "
+                f"got {remat!r}")
+        return True, None, int(suffix)
     policies = {
         "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
         "dots_all": jax.checkpoint_policies.dots_saveable,
     }
     if remat not in policies:
         raise ValueError(
-            f"remat must be bool, 'full', 'dots' or 'dots_all'; got {remat!r}")
-    return True, policies[remat]
+            f"remat must be bool, 'full', 'dots', 'dots_all' or "
+            f"'first<K>'; got {remat!r}")
+    return True, policies[remat], None
 
 
 class Transformer(nn.Module):
@@ -192,8 +214,16 @@ class Transformer(nn.Module):
     @nn.compact
     def __call__(self, x):
         block_cls = Block
-        enabled, policy = resolve_remat_policy(self.remat)
+        enabled, policy, first_k = resolve_remat_policy(self.remat)
         if enabled:
+            # nn.scan traces ONE body for all steps, so a per-layer
+            # prefix ('first<K>') cannot be expressed here; round it up
+            # to full remat (first_k -> policy None).  Memory-safe and
+            # bit-identical — and this scan tower only runs on forward-
+            # only / parity paths (the training hot path is the
+            # functional plain-loop tower, which honors the prefix), so
+            # the extra recompute never materializes in a backward pass.
+            del first_k
             block_cls = nn.remat(Block, prevent_cse=False, policy=policy)
         unroll = self.unroll if self.unroll > 0 else self.layers
         scan = nn.scan(

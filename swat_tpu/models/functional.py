@@ -168,13 +168,17 @@ def _transformer(p, x, heads: int, layers: int, quick_gelu: bool,
             causal=causal, compute_dtype=precision.compute_dtype)
     blocks = p["blocks"]
     body = _block
-    enabled, policy = _resolve_remat(remat)
+    enabled, policy, first_k = _resolve_remat(remat)
     if enabled:
         body = jax.checkpoint(_block, static_argnums=(2, 3, 4, 5, 6),
                               policy=policy)
     for i in range(layers):
         layer = jax.tree_util.tree_map(lambda a: a[i], blocks)
-        x = body(layer, x, heads, quick_gelu, causal, precision, use_pallas)
+        # 'first<K>' checkpoints only the leading K blocks: their saved
+        # residuals live longest through the backward pass, so dropping
+        # them buys the most peak-HBM per block of recompute
+        fn = body if (first_k is None or i < first_k) else _block
+        x = fn(layer, x, heads, quick_gelu, causal, precision, use_pallas)
     return x
 
 

@@ -471,6 +471,18 @@ class SwatPipeline:
         # ---- step + batch composition
         twin_cycler = None
         post_epoch = None
+        # --accum applies to the CE + mixing families (the L/14 hot
+        # paths); the contrastive ([B,B] negatives span the batch),
+        # frozen-encoder, and fixmatch steps don't take it
+        if cfg.accum > 1 and method not in (
+                "finetune", "finetune-mixed", "mixup", "cutmix",
+                "resizemix", "saliencymix", "attentivemix", "mixup-fs",
+                "cutmix-fs", "CMO"):
+            raise ValueError(
+                f"--accum only supports the CE/mixing methods, "
+                f"not {method!r} (FLYP's contrastive loss couples the "
+                f"whole batch; frozen-encoder methods don't need it)")
+
         if method in ("probing", "REAL-Linear"):
             step = S.make_probing_step(self.model, tx, loss,
                                        cfg.pre_extracted, image_size)
@@ -501,30 +513,34 @@ class SwatPipeline:
                 text_feats, text_labels, batch_size=cfg.bsz, shuffle=True,
                 drop_last=True, seed=cfg.training_seed))
         elif method == "finetune":
-            step = S.make_ce_step(self.model, tx, loss, False, image_size)
+            step = S.make_ce_step(self.model, tx, loss, False, image_size,
+                                  accum=cfg.accum)
         elif method == "finetune-mixed":
-            step = S.make_ce_step(self.model, tx, loss, True, image_size)
+            step = S.make_ce_step(self.model, tx, loss, True, image_size,
+                                  accum=cfg.accum)
             twin_cycler = CyclingLoader(self._fs_loader(cfg))
         elif method in ("mixup", "cutmix", "resizemix", "saliencymix"):
             step = S.make_mixing_step(
                 self.model, tx, method, loss, mixup_alpha=cfg.mixup_alpha,
                 cutmix_beta=cfg.cutmix_beta, mix_prob=cfg.mix_prob,
-                image_size=image_size)
+                image_size=image_size, accum=cfg.accum)
         elif method == "attentivemix":
             step = S.make_mixing_step(
                 self.model, tx, method, loss, mixup_alpha=cfg.mixup_alpha,
                 cutmix_beta=cfg.cutmix_beta, mix_prob=cfg.mix_prob,
-                heatmap_fn=self._heatmap_fn(), image_size=image_size)
+                heatmap_fn=self._heatmap_fn(), image_size=image_size,
+                accum=cfg.accum)
         elif method in ("mixup-fs", "cutmix-fs"):
             step = S.make_mixing_step(
                 self.model, tx, method, loss, mixup_alpha=cfg.mixup_alpha,
                 cutmix_beta=cfg.cutmix_beta, mix_prob=cfg.mix_prob,
-                image_size=image_size)
+                image_size=image_size, accum=cfg.accum)
             twin_cycler = CyclingLoader(self._fs_loader(cfg))
         elif method == "CMO":
             step = S.make_mixing_step(
                 self.model, tx, "CMO", loss, cutmix_beta=cfg.cutmix_beta,
-                mix_prob=cfg.mix_prob, image_size=image_size)
+                mix_prob=cfg.mix_prob, image_size=image_size,
+                accum=cfg.accum)
             twin_cycler = CyclingLoader(WeightedTrainLoader(
                 self._train_samples(cfg), cfg.num_classes,
                 cfg.cmo_alpha, batch_size=cfg.bsz, seed=cfg.training_seed,

@@ -142,17 +142,72 @@ def make_cmlp_step(model: CLIPModel, tx, loss: LossFn = cross_entropy,
     return step
 
 
+def _check_accum(model, accum: int):
+    from swat_tpu.models import functional as F
+
+    if accum > 1 and not F._is_vit(model):
+        raise ValueError(
+            "grad accumulation (accum>1) is ViT-only: RN50's batch-stat "
+            "BN is not microbatch-decomposable")
+
+
+def _accum_value_and_grad(trainable, micro_loss, per_sample, accum: int,
+                          reduction: str = "mean"):
+    """Microbatch gradient accumulation: the HBM lever that replaces remat
+    with ZERO recompute.
+
+    `per_sample` is a dict of arrays with leading dim B (divisible by
+    `accum`); augmentation and cross-sample mixing (cutmix's permutation
+    spans the whole batch) already happened on the FULL batch — only
+    encode+loss, where the activation memory lives, runs inside the
+    lax.scan, so peak activation HBM drops by accum× while every matmul
+    keeps an MXU-sized M dim.  lax.scan (not an unrolled loop) forces the
+    microbatches to be sequenced so XLA cannot overlap their liveness.
+
+    All registry losses reduce by per-sample MEAN, so the full-batch value
+    and gradient equal the average over equal-size microbatches; the
+    lam-vector criterion (saliencymix/attentivemix) SUMS, so those pass
+    reduction='sum'.  Equivalence is to reduction-order rounding, not
+    bit-exact (tests/test_train.py::test_accum_matches_single_pass).
+    """
+    batch_dim = next(iter(jax.tree_util.tree_leaves(per_sample))).shape[0]
+    if batch_dim % accum:
+        raise ValueError(
+            f"batch size {batch_dim} is not divisible by accum={accum}")
+    mbs = jax.tree_util.tree_map(
+        lambda a: a.reshape((accum, a.shape[0] // accum) + a.shape[1:]),
+        per_sample)
+    g0 = jax.tree_util.tree_map(jnp.zeros_like, trainable)
+
+    def body(carry, mb):
+        val_acc, g_acc = carry
+        val, g = jax.value_and_grad(micro_loss)(trainable, mb)
+        return (val_acc + val,
+                jax.tree_util.tree_map(jnp.add, g_acc, g)), None
+
+    (val_sum, g_sum), _ = jax.lax.scan(body, (jnp.float32(0.0), g0), mbs)
+    if reduction == "mean":
+        inv = 1.0 / accum
+        return val_sum * inv, jax.tree_util.tree_map(
+            lambda g: (g * inv).astype(g.dtype), g_sum)
+    return val_sum, g_sum
+
+
 def make_ce_step(model: CLIPModel, tx, loss: LossFn = cross_entropy,
-                 concat_fs: bool = False, image_size: int = 224):
+                 concat_fs: bool = False, image_size: int = 224,
+                 accum: int = 1):
     """Standard finetune CE (reference train_ce, utils/training.py:296-412).
     With concat_fs=True the few-shot twin batch is concatenated first
-    (reference train_ce_mixed, :692-816)."""
+    (reference train_ce_mixed, :692-816).  accum>1 splits the (concatenated)
+    batch into `accum` microbatches and accumulates gradients — same
+    semantics, 1/accum the activation HBM, no recompute."""
+    _check_accum(model, accum)
 
     @functools.partial(jax.jit, donate_argnums=0)
     def step(state: TrainState, batch, key):
         k1, k2 = jax.random.split(key)
 
-        def loss_fn(trainable):
+        def prep():
             images = _get_images(batch, k1, image_size)
             labels = batch["labels"]
             source = batch["source"]
@@ -163,10 +218,30 @@ def make_ce_step(model: CLIPModel, tx, loss: LossFn = cross_entropy,
                     [images, _get_images(twin, k2, image_size)], axis=0)
                 labels = jnp.concatenate([labels, twin["labels"]], axis=0)
                 source = jnp.concatenate([source, twin["source"]], axis=0)
+            return images, labels, source
+
+        def logits_of(trainable, images):
             feats, bn_upd = _encode_train(model, trainable["model"],
                                           images)
-            logits = _scaled_logits(trainable["head"],
-                                    trainable["logit_scale"], feats)
+            return _scaled_logits(trainable["head"],
+                                  trainable["logit_scale"], feats), bn_upd
+
+        if accum > 1:
+            images, labels, source = prep()
+
+            def micro_loss(trainable, mb):
+                logits, _ = logits_of(trainable, mb["images"])
+                return loss(logits, mb["labels"], mb["source"])
+
+            val, grads = _accum_value_and_grad(
+                state.trainable, micro_loss,
+                {"images": images, "labels": labels, "source": source},
+                accum)
+            return _apply_update(tx, state, grads), val
+
+        def loss_fn(trainable):
+            images, labels, source = prep()
+            logits, bn_upd = logits_of(trainable, images)
             return loss(logits, labels, source), bn_upd
 
         (val, bn_upd), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -181,7 +256,7 @@ def make_mixing_step(model: CLIPModel, tx, method: str,
                      mixup_alpha: float = 1.0, cutmix_beta: float = 1.0,
                      mix_prob: float = 0.5,
                      heatmap_fn: Optional[Callable] = None,
-                     image_size: int = 224):
+                     image_size: int = 224, accum: int = 1):
     """One factory for the mixing family:
 
     cutmix      reference train_cutmix      utils/training.py:1422-1556
@@ -195,16 +270,23 @@ def make_mixing_step(model: CLIPModel, tx, method: str,
     attentivemix reference train_attentivemix2 :2672-2831 (model heatmap)
     CMO         reference train_CMO         :1865-2005 (second batch from
                 inverse-frequency loader)
+
+    accum>1: the mix itself stays a full-batch op (its pairing permutation
+    spans the batch) computed outside the gradient — only encode+loss is
+    microbatched (attentivemix's heatmap was already stop_gradient'ed, so
+    hoisting it out of the grad is exact).
     """
+    _check_accum(model, accum)
 
     @functools.partial(jax.jit, donate_argnums=0)
     def step(state: TrainState, batch, key):
         k_aug, k_aug2, k_mix = jax.random.split(key, 3)
 
-        def loss_fn(trainable):
+        def mix(trainable):
             images = _get_images(batch, k_aug, image_size)
             labels = batch["labels"]
             source = batch["source"]
+            lam = None
             lam_vec = None
 
             if method in ("cutmix-fs", "mixup-fs", "CMO"):
@@ -251,16 +333,43 @@ def make_mixing_step(model: CLIPModel, tx, method: str,
                     images, labels, heatmaps, k_mix, cutmix_beta, mix_prob)
             else:
                 raise NotImplementedError(method)
+            return images, y_a, y_b, lam, lam_vec, source
 
+        def criterion(logits, y_a, y_b, lam, lam_vec, source):
+            if lam_vec is not None:
+                return mixup_criterion_lam_vector(logits, y_a, y_b,
+                                                  lam_vec)
+            return mixup_criterion(loss, logits, y_a, y_b, lam, source)
+
+        if accum > 1:
+            # full-batch mix outside the grad (exact: no gradient flows
+            # through it — attentivemix's heatmap is stop_gradient'ed)
+            images, y_a, y_b, lam, lam_vec, source = mix(state.trainable)
+            per_sample = {"images": images, "y_a": y_a, "y_b": y_b,
+                          "source": source}
+            if lam_vec is not None:
+                per_sample["lam_vec"] = lam_vec
+
+            def micro_loss(trainable, mb):
+                feats, _ = _encode_train(model, trainable["model"],
+                                         mb["images"])
+                logits = _scaled_logits(trainable["head"],
+                                        trainable["logit_scale"], feats)
+                return criterion(logits, mb["y_a"], mb["y_b"], lam,
+                                 mb.get("lam_vec"), mb["source"])
+
+            val, grads = _accum_value_and_grad(
+                state.trainable, micro_loss, per_sample, accum,
+                reduction="sum" if lam_vec is not None else "mean")
+            return _apply_update(tx, state, grads), val
+
+        def loss_fn(trainable):
+            images, y_a, y_b, lam, lam_vec, source = mix(trainable)
             feats, bn_upd = _encode_train(model, trainable["model"],
                                           images)
             logits = _scaled_logits(trainable["head"],
                                     trainable["logit_scale"], feats)
-            if lam_vec is not None:
-                return (mixup_criterion_lam_vector(logits, y_a, y_b,
-                                                   lam_vec), bn_upd)
-            return (mixup_criterion(loss, logits, y_a, y_b, lam, source),
-                    bn_upd)
+            return criterion(logits, y_a, y_b, lam, lam_vec, source), bn_upd
 
         (val, bn_upd), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.trainable)

@@ -95,7 +95,7 @@ def test_gradients_match_flax():
                                    rtol=1e-5, atol=1e-6)
 
 
-@pytest.mark.parametrize("mode", [True, "dots", "dots_all"])
+@pytest.mark.parametrize("mode", [True, "dots", "dots_all", "first2"])
 def test_remat_matches(mode):
     model = CLIPModel(CFG, remat=mode)
     params = _init(model)
@@ -108,7 +108,8 @@ def test_remat_matches(mode):
                                rtol=0, atol=0)
 
 
-@pytest.mark.parametrize("mode", [True, "dots", "dots_all"])
+@pytest.mark.parametrize("mode", [True, "dots", "dots_all", "first1",
+                                  "first2"])
 def test_remat_gradients_match(mode):
     """Every remat policy must differentiate to the SAME gradients as the
     un-rematerialized forward (fp32 exactness) — a wrong `policy` arg
@@ -134,14 +135,36 @@ def test_remat_gradients_match(mode):
                                    rtol=1e-6, atol=1e-7)
 
 
+def test_flax_tower_rounds_first_k_up_to_full_remat():
+    """The nn.scan tower cannot checkpoint a per-layer prefix (one body
+    trace for all steps); it must still RUN under remat='first<K>' —
+    rounded up to full remat — with identical outputs, because the model
+    object carries the flag into forward-only flax paths (heatmaps,
+    RN50 fallback)."""
+    model = CLIPModel(CFG, remat="first2")
+    params = _init(model)
+    images = jax.random.normal(jax.random.PRNGKey(7), (2, 32, 32, 3))
+    base = CLIPModel(CFG).apply({"params": params}, images, True,
+                                method=CLIPModel.encode_image)
+    rem = model.apply({"params": params}, images, True,
+                      method=CLIPModel.encode_image)
+    np.testing.assert_allclose(np.asarray(rem), np.asarray(base),
+                               rtol=0, atol=0)
+
+
 def test_remat_rejects_unknown_policy():
     from swat_tpu.models.clip import resolve_remat_policy
 
     with pytest.raises(ValueError):
         resolve_remat_policy("bogus")
-    assert resolve_remat_policy(False) == (False, None)
-    assert resolve_remat_policy(True) == (True, None)
-    assert resolve_remat_policy("full") == (True, None)
+    with pytest.raises(ValueError):
+        resolve_remat_policy("first0")
+    with pytest.raises(ValueError):
+        resolve_remat_policy("firstX")
+    assert resolve_remat_policy(False) == (False, None, None)
+    assert resolve_remat_policy(True) == (True, None, None)
+    assert resolve_remat_policy("full") == (True, None, None)
+    assert resolve_remat_policy("first4") == (True, None, 4)
 
 
 def test_resnet_falls_back_to_flax():

@@ -350,3 +350,112 @@ def test_auto_remat_policy():
     # smaller towers never need it
     assert auto_remat("vitb16_openclip_laion400m", False, 128, 1) is False
     assert auto_remat("vitb32_openclip_laion400m", False, 256, 1) is False
+
+
+# ---------------------------------------------------------------------------
+# gradient accumulation (--accum): microbatched encode+loss must match the
+# single-pass step — the zero-recompute alternative to remat for L/14
+# single-chip training
+
+
+def _state_for(params, method, num_classes, seed=1):
+    # SGD, not AdamW: after ONE Adam step the update is exactly
+    # ±lr·sign(ghat), so near-zero grads amplify benign reduction-order
+    # rounding into ±2·lr param flips (the same artifact the full-scale
+    # torch twin documents for zero-grad params).  SGD's update is linear
+    # in g — reduction-order noise stays ~1e-7-relative and the
+    # comparison actually tests the decomposition, not Adam's sign
+    # sensitivity.
+    head = init_head_random(jax.random.PRNGKey(seed), num_classes,
+                            CFG.embed_dim)
+    return create_train_state(params, head, method, lr_classifier=1e-3,
+                              lr_backbone=1e-4, total_iter=10,
+                              optim_type="SGD")
+
+
+def _canvas_batch(rng, n, num_classes):
+    return {
+        "canvases": jnp.asarray(
+            rng.integers(0, 255, (n, 40, 40, 3)).astype(np.uint8)),
+        "valid_hw": jnp.full((n, 2), 40, jnp.int32),
+        "labels": jnp.asarray(rng.integers(0, num_classes, n)),
+        "source": jnp.asarray(rng.integers(0, 2, n)),
+    }
+
+
+@pytest.mark.parametrize("method", ["finetune", "cutmix", "saliencymix"])
+def test_accum_matches_single_pass(tiny_model, rng, method):
+    """accum=2 == accum=1 to reduction-order rounding, for a mean-reduced
+    CE step, the scalar-lam mixing criterion, and the SUM-reduced
+    lam-vector criterion (saliencymix)."""
+    model, params = tiny_model
+    num_classes = 4
+    batch = _canvas_batch(rng, 8, num_classes)
+    key = jax.random.PRNGKey(3)
+
+    def run(accum):
+        state, tx = _state_for(params, "cutmix", num_classes)
+        if method == "finetune":
+            step = S.make_ce_step(model, tx, L.make_weighted_ce(2.0),
+                                  False, 32, accum=accum)
+        else:
+            step = S.make_mixing_step(model, tx, method, image_size=32,
+                                      accum=accum)
+        state, loss = step(state, dict(batch), key)
+        return float(loss), state
+
+    loss1, s1 = run(1)
+    loss2, s2 = run(2)
+    assert loss2 == pytest.approx(loss1, rel=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.trainable),
+                    jax.tree_util.tree_leaves(s2.trainable)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_accum_concat_fs_matches(tiny_model, rng):
+    """finetune-mixed: the few-shot twin is concatenated BEFORE the
+    microbatch split, so accum divides the combined batch."""
+    model, params = tiny_model
+    num_classes = 4
+    batch = _canvas_batch(rng, 4, num_classes)
+    twin = _canvas_batch(rng, 4, num_classes)
+    batch.update({k + "_fs": v for k, v in twin.items()})
+    key = jax.random.PRNGKey(5)
+
+    def run(accum):
+        state, tx = _state_for(params, "cutmix", num_classes)
+        step = S.make_ce_step(model, tx, concat_fs=True, image_size=32,
+                              accum=accum)
+        state, loss = step(state, dict(batch), key)
+        return float(loss), state
+
+    loss1, s1 = run(1)
+    loss2, s2 = run(2)
+    assert loss2 == pytest.approx(loss1, rel=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.trainable),
+                    jax.tree_util.tree_leaves(s2.trainable)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_accum_rejects_rn50_and_bad_split(tiny_model, rng):
+    """Batch-stat BN is not microbatch-decomposable -> ViT only; a batch
+    not divisible by accum is a trace-time error, not silent padding."""
+    import dataclasses
+
+    from swat_tpu.models.resnet import ResNetConfig
+
+    rn_cfg = dataclasses.replace(
+        get_model_config("rn50_openclip_openai"),
+        vision=ResNetConfig(image_size=64, width=16, layers=(1, 1, 1, 1),
+                            embed_dim=CFG.embed_dim, heads=2))
+    rn_model = CLIPModel(rn_cfg, precision=FP32_PRECISION)
+    with pytest.raises(ValueError, match="ViT-only"):
+        S.make_ce_step(rn_model, None, image_size=64, accum=2)
+
+    model, params = tiny_model
+    state, tx = _state_for(params, "cutmix", 4)
+    step = S.make_ce_step(model, tx, image_size=32, accum=3)
+    with pytest.raises(ValueError, match="divisible"):
+        step(state, _canvas_batch(rng, 8, 4), jax.random.PRNGKey(0))
