@@ -176,7 +176,8 @@ def main():
         else:
             remat = False if args.remat == "False" else args.remat
         try:
-            bench_one(c, bsz, remat=remat, attn=args.attn)
+            bench_one(c, bsz, remat=remat, attn=args.attn,
+                      accum=args.accum)
         except Exception as e:  # keep later configs running
             print(json.dumps({"model_cfg": c, "bsz": bsz,
                               "remat": str(remat), "attn": args.attn,

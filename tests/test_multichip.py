@@ -88,6 +88,45 @@ def test_dp_sharded_step_matches_single_device(rng):
     np.testing.assert_allclose(head_1, head_8, rtol=1e-5, atol=1e-7)
 
 
+def test_dp_sharded_accum_step_matches_single_device(rng):
+    """Gradient accumulation under a dp mesh: the microbatch reshape
+    (B -> accum x B/accum) crosses the sharded batch dim, so GSPMD must
+    reshard inside the lax.scan — the result must still equal the
+    single-device single-pass step (fp32, reduction-order rounding)."""
+    model = CLIPModel(CFG, precision=FP32_PRECISION)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32),
+        jnp.zeros((1, CFG.text.context_length), jnp.int32))["params"]
+    head = init_head_random(jax.random.PRNGKey(1), 3, CFG.embed_dim)
+
+    batch_np = {
+        "images": rng.normal(size=(16, 32, 32, 3)).astype(np.float32),
+        "labels": rng.integers(0, 3, 16).astype(np.int32),
+        "source": rng.integers(0, 2, 16).astype(np.int32),
+    }
+
+    def run(mesh, accum):
+        state, tx = create_train_state(
+            params, head, "finetune", lr_classifier=1e-3,
+            lr_backbone=1e-4, total_iter=10, optim_type="SGD")
+        step = S.make_ce_step(model, tx, image_size=32, accum=accum)
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        if mesh is not None:
+            batch = {k: jax.device_put(
+                v, NamedSharding(mesh, P("data", *[None] * (v.ndim - 1))))
+                for k, v in batch.items()}
+            state = jax.device_put(state, NamedSharding(mesh, P()))
+        new_state, loss = step(state, batch, jax.random.PRNGKey(3))
+        return float(loss), np.asarray(new_state.head)
+
+    loss_1, head_1 = run(None, 1)
+    mesh = create_mesh(MeshSpec(data=8, model=1))
+    loss_8, head_8 = run(mesh, 2)
+
+    assert loss_1 == pytest.approx(loss_8, rel=1e-5)
+    np.testing.assert_allclose(head_1, head_8, rtol=1e-5, atol=1e-7)
+
+
 def test_tp_sharded_forward_matches_replicated(rng):
     """Tensor-parallel param sharding (column/row-parallel attention+MLP,
     models/clip.partition_specs) must not change the forward result."""
