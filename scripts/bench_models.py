@@ -171,13 +171,18 @@ def main():
     for c in cfgs:
         # HBM on one v5e chip: B/16 train OOMs at 256, L/14 at 128
         bsz = args.bsz or default_bsz(c)
+        accum = args.accum
         if args.remat is None:
-            remat = "vitl14" in c
+            # L/14 default = the measured fastest feasible single-chip
+            # policy: accum=2 (microbatch 32), no remat (176.8 img/s vs
+            # full remat's 159.2 — see auto_memory_policy)
+            remat = False
+            if "vitl14" in c and accum == 1:
+                accum = 2
         else:
             remat = False if args.remat == "False" else args.remat
         try:
-            bench_one(c, bsz, remat=remat, attn=args.attn,
-                      accum=args.accum)
+            bench_one(c, bsz, remat=remat, attn=args.attn, accum=accum)
         except Exception as e:  # keep later configs running
             print(json.dumps({"model_cfg": c, "bsz": bsz,
                               "remat": str(remat), "attn": args.attn,

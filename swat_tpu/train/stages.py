@@ -60,24 +60,72 @@ from swat_tpu.train.trainer import compose_twin, train_loop
 from swat_tpu.utils.logging import set_logger
 
 
-def auto_remat(model_cfg: str, remat, bsz: int, n_devices: int):
-    """Pick the effective remat policy for one run.
+# methods whose gradient decomposes over equal-size microbatches: the CE
+# and mixing families (augmentation + the mix pairing stay full-batch ops
+# outside the gradient).  FLYP's [B,B] contrastive and fixmatch's global
+# threshold stats couple the whole batch; frozen-encoder methods have no
+# activation memory to save.
+ACCUM_METHODS = frozenset({
+    "finetune", "finetune-mixed", "mixup", "cutmix", "resizemix",
+    "saliencymix", "attentivemix", "mixup-fs", "cutmix-fs", "CMO",
+})
 
-    ViT-L/14 fwd+bwd at bsz>=64 needs ~16.5G HBM vs a v5e chip's 15.75G,
-    and the r4 isolated sweep (scripts/ablate_l14_mfu.py) measured that
-    the selective policies (dots / dots_all) ALSO exhaust HBM at that
-    shape — full block remat is the only single-chip policy that fits
-    (159 img/s with the packed pallas kernel, 39% nominal MFU). When the
-    user left --remat unset for that configuration, enable it rather
-    than letting compilation fail with the axon HTTP-500 / OOM. An
-    explicit --remat value, a multi-device mesh, or the reference's
-    bsz-32 config (utils/extras.py:97-114 trains L/14 at bsz 32 on an
-    80GB A100) are all left untouched.
+
+def _pick_accum(combined_bsz: int, target_micro: int = 32):
+    """Smallest divisor of the encode batch giving microbatch <= target."""
+    lo = max(2, -(-combined_bsz // target_micro))
+    for d in range(lo, combined_bsz + 1):
+        if combined_bsz % d == 0 and combined_bsz // d <= target_micro:
+            return d
+    return None
+
+
+def auto_memory_policy(model_cfg: str, remat, accum: int, bsz: int,
+                       n_devices: int, method: str):
+    """Pick the effective (remat, accum) for one run.
+
+    ViT-L/14 fwd+bwd at bsz>=64 needs ~16.5G HBM vs a v5e chip's 15.75G.
+    The r4 isolated sweeps (scripts/ablate_l14_mfu.py, the accum sweep)
+    measured, at bsz 64 on one chip:
+
+      accum=2, no remat, pallas   362 ms  176.8 img/s  43.4% nominal MFU
+      full remat + pallas         402 ms  159.2 img/s  39.1%
+      full remat + XLA            470 ms  136.1 img/s  33.5%
+      dots / dots_all / no-remat / first<K>      RESOURCE_EXHAUSTED
+      accum=4 == accum=2 (175.4); accum=2 + XLA attention still OOMs
+      (XLA autodiff saves larger attention residuals than the packed
+      pallas custom-VJP, which recomputes its softmax stats)
+
+    So when the user left both --remat and --accum unset:
+    - microbatch-decomposable methods (ACCUM_METHODS) get gradient
+      accumulation sized for a <=32-image microbatch — zero recompute,
+      the measured fastest feasible policy;
+    - coupled losses (FLYP, fixmatch) get full block remat, the only
+      fitting alternative.
+    An explicit --remat or --accum is never second-guessed, except that
+    an explicit accum whose microbatch still exceeds HBM (>=64 images)
+    gets full remat on top rather than a guaranteed compile-time OOM
+    (the axon HTTP-500 presentation). Multi-device meshes shard
+    activations and the reference's bsz-32 config (utils/extras.py:97-114
+    trains L/14 at bsz 32 on an 80GB A100) fits outright — untouched.
     """
-    if ("vitl14" in model_cfg and not remat and bsz >= 64
-            and n_devices == 1):
-        return "full"
-    return remat
+    if not ("vitl14" in model_cfg and bsz >= 64 and n_devices == 1):
+        return remat, accum
+    if remat:
+        return remat, accum
+    # encode batch: finetune-mixed concatenates the few-shot twin batch
+    # (reference train_ce_mixed, utils/training.py:692-816) — the other
+    # twin methods only mix FROM the second batch
+    combined = bsz * (2 if method == "finetune-mixed" else 1)
+    if accum > 1:
+        if combined // accum >= 64:
+            return "full", accum
+        return remat, accum
+    if method in ACCUM_METHODS:
+        picked = _pick_accum(combined)
+        if picked is not None:
+            return False, picked
+    return "full", accum
 
 
 class SwatPipeline:
@@ -107,20 +155,25 @@ class SwatPipeline:
         self.model_cfg = get_model_config(cfg.model_cfg)
         precision = (FP32_PRECISION if cfg.compute_dtype == "float32"
                      else DEFAULT_PRECISION)
-        remat = auto_remat(cfg.model_cfg, cfg.remat, cfg.bsz,
-                           len(jax.devices()))
-        if remat != cfg.remat:
-            # measured (scripts/ablate_l14_mfu.py): L/14 fwd+bwd at bsz 64
-            # needs 16.5G HBM vs a v5e chip's 15.75G, and the selective
-            # policies (dots/dots_all) RESOURCE_EXHAUST too — full block
-            # remat is the only policy that fits, and with the packed
-            # pallas attention kernel trains at 159 img/s (39% nominal
-            # MFU) vs a guaranteed compile-time OOM without it
+        remat, accum = auto_memory_policy(
+            cfg.model_cfg, cfg.remat, cfg.accum, cfg.bsz,
+            len(jax.devices()), cfg.method)
+        if (remat, accum) != (cfg.remat, cfg.accum):
+            # measured (scripts/ablate_l14_mfu.py + the accum sweep):
+            # L/14 fwd+bwd at bsz 64 needs 16.5G HBM vs a v5e chip's
+            # 15.75G. Gradient accumulation (microbatch 32, zero
+            # recompute) trains at 176.8 img/s (43.4% nominal MFU) vs
+            # full remat's 159.2 — the default for microbatch-
+            # decomposable methods; coupled losses fall back to full
+            # remat, the only other policy that fits
             self.logger.warning(
-                "ViT-L/14 at bsz>=64 on one chip exceeds HBM without "
-                "rematerialisation — auto-enabling --remat full (the only "
-                "policy measured to fit, scripts/ablate_l14_mfu.py). Pass "
-                "--remat explicitly or shard with --mesh_data to override.")
+                "ViT-L/14 at bsz>=64 on one chip exceeds HBM — "
+                f"auto-enabling remat={remat!r}, accum={accum} "
+                "(measured policy, scripts/ablate_l14_mfu.py). Pass "
+                "--remat/--accum explicitly or shard with --mesh_data "
+                "to override.")
+            self.cfg = dataclasses.replace(self.cfg, accum=accum)
+            cfg = self.cfg
         self.model = CLIPModel(self.model_cfg, precision=precision,
                                remat=remat, use_pallas=cfg.use_pallas)
 
@@ -1009,7 +1062,11 @@ class SwatPipeline:
         stage2 = dataclasses.replace(
             cfg, method="probing", pre_extracted=True, freeze_visual=True,
             epochs=10, early_stop=False,
-            data_source="fewshot")
+            data_source="fewshot",
+            # probing trains on frozen pre-extracted features: there is
+            # no activation memory to microbatch, and the accum gate
+            # rejects non-CE/mixing methods — drop any inherited value
+            accum=1)
 
         # few-shot train features — extracted with the *train* transform
         # (one random-crop/flip snapshot per image) exactly like the

@@ -327,29 +327,47 @@ def test_load_best_model_three_formats(tmp_path):
         load_best_model(p4, template, head_t)
 
 
-def test_auto_remat_policy():
-    """L/14 single-chip bsz>=64 with --remat unset auto-enables full block
-    remat — the only policy the r4 isolated sweep measured to fit one v5e
-    chip (scripts/ablate_l14_mfu.py: dots / dots_all RESOURCE_EXHAUST at
-    bsz 64). Everything else keeps the user's value untouched."""
-    from swat_tpu.train.stages import auto_remat
+def test_auto_memory_policy():
+    """L/14 single-chip bsz>=64 with --remat/--accum unset: the CE/mixing
+    families get gradient accumulation at a <=32-image microbatch (the
+    measured fastest feasible policy, 176.8 img/s vs full remat's 159.2);
+    coupled losses (FLYP/fixmatch) get full block remat, the only other
+    policy the r4 isolated sweep measured to fit one v5e chip. Everything
+    else keeps the user's values untouched."""
+    from swat_tpu.train.stages import auto_memory_policy
 
-    # the auto-enable case
-    assert auto_remat("vitl14_openclip_laion400m", False, 64, 1) == "full"
-    assert auto_remat("vitl14_openclip_laion400m", False, 128, 1) == "full"
+    L14 = "vitl14_openclip_laion400m"
 
-    # explicit user choice wins (even a policy known to OOM: explicit
-    # flags are never second-guessed)
-    assert auto_remat("vitl14_openclip_laion400m", "dots", 64, 1) == "dots"
-    assert auto_remat("vitl14_openclip_laion400m", True, 64, 1) is True
+    # accum for the decomposable methods, sized to microbatch <= 32
+    assert auto_memory_policy(L14, False, 1, 64, 1, "cutmix") == (False, 2)
+    assert auto_memory_policy(L14, False, 1, 128, 1, "finetune") == (False, 4)
+    # finetune-mixed concatenates the twin batch -> encode batch 2*bsz
+    assert auto_memory_policy(
+        L14, False, 1, 64, 1, "finetune-mixed") == (False, 4)
 
-    # the reference's bsz-32 config fits without remat
-    assert auto_remat("vitl14_openclip_laion400m", False, 32, 1) is False
+    # coupled losses fall back to full remat
+    assert auto_memory_policy(L14, False, 1, 64, 1, "FLYP") == ("full", 1)
+    assert auto_memory_policy(L14, False, 1, 64, 1, "fixmatch") == ("full", 1)
+
+    # explicit user choices win (even a remat policy known to OOM:
+    # explicit flags are never second-guessed) ...
+    assert auto_memory_policy(L14, "dots", 1, 64, 1, "cutmix") == ("dots", 1)
+    assert auto_memory_policy(L14, True, 1, 64, 1, "cutmix") == (True, 1)
+    assert auto_memory_policy(L14, False, 2, 64, 1, "cutmix") == (False, 2)
+    # ... except an explicit accum whose microbatch still cannot fit,
+    # which gets remat on top instead of a guaranteed compile-time OOM
+    assert auto_memory_policy(
+        L14, False, 2, 256, 1, "cutmix") == ("full", 2)
+
+    # the reference's bsz-32 config fits without either lever
+    assert auto_memory_policy(L14, False, 1, 32, 1, "cutmix") == (False, 1)
     # sharded runs split activations over the mesh
-    assert auto_remat("vitl14_openclip_laion400m", False, 64, 8) is False
+    assert auto_memory_policy(L14, False, 1, 64, 8, "cutmix") == (False, 1)
     # smaller towers never need it
-    assert auto_remat("vitb16_openclip_laion400m", False, 128, 1) is False
-    assert auto_remat("vitb32_openclip_laion400m", False, 256, 1) is False
+    assert auto_memory_policy("vitb16_openclip_laion400m",
+                              False, 1, 128, 1, "cutmix") == (False, 1)
+    assert auto_memory_policy("vitb32_openclip_laion400m",
+                              False, 1, 256, 1, "cutmix") == (False, 1)
 
 
 # ---------------------------------------------------------------------------
