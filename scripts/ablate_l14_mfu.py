@@ -60,14 +60,23 @@ def main():
                 # expected OOM — keep it as a trailing data point so its
                 # leaked-HBM failure mode can't shadow feasible configs
                 oomish = remat == "False" and "vitl14" in c
-                grid.append((oomish, c, bsz, remat, attn))
+                grid.append((oomish, c, bsz, remat, attn, 1))
+        # gradient accumulation (r4, the winner at L/14): no remat,
+        # microbatched encode+loss — measured 176.8 img/s (accum=2,
+        # pallas) vs full remat's 159.2; accum=2+XLA OOMs (XLA autodiff
+        # saves larger attention residuals than the pallas custom-VJP)
+        for accum in (2, 4):
+            for attn in ("pallas", "xla"):
+                grid.append((accum == 2 and attn == "xla", c, bsz,
+                             "False", attn, accum))
     grid.sort(key=lambda g: g[0])
 
-    for _, c, bsz, remat, attn in grid:
+    for _, c, bsz, remat, attn, accum in grid:
         # one process per point; never killed (a timeout-kill mid-compile
         # wedges the chip) — a clean OOM exit is itself the data point
         subprocess.run([sys.executable, bench, c, f"--bsz={bsz}",
-                        f"--remat={remat}", f"--attn={attn}"])
+                        f"--remat={remat}", f"--attn={attn}",
+                        f"--accum={accum}"])
 
 
 if __name__ == "__main__":
