@@ -40,7 +40,11 @@ from swat_tpu.models.loader import (
 from swat_tpu.train import steps as steps_mod
 from swat_tpu.train.state import create_train_state
 
-from test_torch_oracle import make_oracle_sd, oracle_encode_image
+from test_torch_oracle import (
+    make_oracle_sd,
+    oracle_encode_image,
+    oracle_encode_text,
+)
 
 CFG = MODEL_REGISTRY["vitb32_openclip_laion400m"]
 V = CFG.vision
@@ -107,6 +111,51 @@ def _torch_twin(sd0, batches, head0):
             head.detach().numpy(), logit_scale.item())
 
 
+def _delta_check(k, init, ref, got):
+    """Delta-protocol comparison for ONE trained tensor; returns 1 if it
+    carried a real gradient (moved), 0 otherwise."""
+    d_ref = ref - init
+    d_got = got - init
+    if k.endswith("attn.in_proj_bias"):
+        # the K-bias third has EXACTLY zero gradient (adding a
+        # constant to every key shifts each query's scores
+        # uniformly — softmax is shift-invariant), so both
+        # frameworks feed Adam pure rounding noise there and the
+        # resulting +-lr random walks cannot match.  Bound its
+        # magnitude (|delta| <= steps x lr + decay) and compare
+        # only the Q/V thirds, which carry real gradients.
+        d = init.shape[0] // 3
+        bound = N_STEPS * LR_BB * 1.5
+        assert np.abs(d_ref[d:2 * d]).max() <= bound, k
+        assert np.abs(d_got[d:2 * d]).max() <= bound, k
+        d_ref = np.concatenate([d_ref[:d], d_ref[2 * d:]])
+        d_got = np.concatenate([d_got[:d], d_got[2 * d:]])
+        init = np.concatenate([init[:d], init[2 * d:]])
+    scale = np.abs(d_ref).max()
+    if scale == 0:
+        np.testing.assert_array_equal(got, ref, err_msg=k)
+        return 0
+    # deltas agree to <2% of the largest per-tensor update —
+    # plus a 2-ULP floor at the PARAMETER's magnitude: the
+    # delta is (final - init) of fp32 weights, so for LN
+    # scales near 1.0 (ULP ~1.2e-7) the entire lr=1e-6
+    # trajectory spans only ~19 representable values and a
+    # 1-ULP rounding difference is 5% of the delta (measured
+    # on ln_pre).  On >=99.98% of elements; the residual is
+    # Adam's sign-like m/sqrt(v) flipping a full-sized step
+    # where the gradient lands at rounding-zero with
+    # opposite tiny signs (measured: 139/2.36M on conv1).
+    ulp = float(np.spacing(
+        np.float32(np.abs(init).max() + np.abs(scale))))
+    bad = np.abs(d_got - d_ref) > 2e-2 * scale + 2 * ulp
+    # absolute floor of 2: a small bias tensor can catch 1-2
+    # rounding-zero sign flips; a systematic divergence
+    # would move a macroscopic fraction
+    assert bad.sum() <= max(2, 2e-4 * bad.size), (
+        f"{k}: {bad.sum()}/{bad.size} delta mismatches")
+    return 1
+
+
 def _compare(sd0, t, j):
     t_losses, t_sd, t_head, t_ls = t
     j_losses, j_sd, j_head, j_ls = j
@@ -119,46 +168,7 @@ def _compare(sd0, t, j):
             continue
         init = sd0[k].numpy()
         if k.startswith("visual."):
-            d_ref = ref - init
-            d_got = j_sd[k] - init
-            if k.endswith("attn.in_proj_bias"):
-                # the K-bias third has EXACTLY zero gradient (adding a
-                # constant to every key shifts each query's scores
-                # uniformly — softmax is shift-invariant), so both
-                # frameworks feed Adam pure rounding noise there and the
-                # resulting +-lr random walks cannot match.  Bound its
-                # magnitude (|delta| <= steps x lr + decay) and compare
-                # only the Q/V thirds, which carry real gradients.
-                d = init.shape[0] // 3
-                bound = N_STEPS * LR_BB * 1.5
-                assert np.abs(d_ref[d:2 * d]).max() <= bound, k
-                assert np.abs(d_got[d:2 * d]).max() <= bound, k
-                d_ref = np.concatenate([d_ref[:d], d_ref[2 * d:]])
-                d_got = np.concatenate([d_got[:d], d_got[2 * d:]])
-                init = np.concatenate([init[:d], init[2 * d:]])
-            scale = np.abs(d_ref).max()
-            if scale > 0:
-                moved += 1
-                # deltas agree to <2% of the largest per-tensor update —
-                # plus a 2-ULP floor at the PARAMETER's magnitude: the
-                # delta is (final - init) of fp32 weights, so for LN
-                # scales near 1.0 (ULP ~1.2e-7) the entire lr=1e-6
-                # trajectory spans only ~19 representable values and a
-                # 1-ULP rounding difference is 5% of the delta (measured
-                # on ln_pre).  On >=99.98% of elements; the residual is
-                # Adam's sign-like m/sqrt(v) flipping a full-sized step
-                # where the gradient lands at rounding-zero with
-                # opposite tiny signs (measured: 139/2.36M on conv1).
-                ulp = float(np.spacing(
-                    np.float32(np.abs(init).max() + np.abs(scale))))
-                bad = np.abs(d_got - d_ref) > 2e-2 * scale + 2 * ulp
-                # absolute floor of 2: a small bias tensor can catch 1-2
-                # rounding-zero sign flips; a systematic divergence
-                # would move a macroscopic fraction
-                assert bad.sum() <= max(2, 2e-4 * bad.size), (
-                    f"{k}: {bad.sum()}/{bad.size} delta mismatches")
-            else:
-                np.testing.assert_array_equal(j_sd[k], ref, err_msg=k)
+            moved += _delta_check(k, init, ref, j_sd[k])
         else:
             np.testing.assert_array_equal(j_sd[k], init, err_msg=k)
     # the trajectory genuinely trained: most visual tensors moved
@@ -239,3 +249,97 @@ def test_fullscale_cutmix_trajectory_matches_torch(fullscale_fixtures):
         j_losses.append(float(loss))
     _compare(sd0, t, (j_losses, _jax_sd(state),
                       np.asarray(state.head), float(state.logit_scale)))
+
+
+# ---------------------------------------------------------------------------
+# FLYP at full scale: the only method that trains the TEXT tower, which the
+# CE/cutmix twins above leave frozen — so the 77-ctx/49408-vocab token
+# embedding, text pos-embed, 512-wide LN, and 8-head packing have training
+# (not just forward) coverage at real dimensions.  Reference train_flyp
+# utils/training.py:415-552; param groups utils/optimizers.py:83-120
+# (projectors at lr_projector, logit_scale at lr_classifier, the
+# classifier head NOT in the optimizer).
+
+LR_PROJ = 5e-5
+T = CFG.text
+
+
+def _torch_twin_flyp(sd0, images, tokens):
+    sd = {k: v.clone().detach() for k, v in sd0.items()}
+    backbone, projectors = [], []
+    for k, v in sd.items():
+        if k == "logit_scale":
+            continue
+        v.requires_grad_(True)
+        (projectors if k in ("visual.proj", "text_projection")
+         else backbone).append(v)
+    logit_scale = sd["logit_scale"].clone().detach().requires_grad_(True)
+    opt = torch.optim.AdamW(
+        [{"params": backbone, "lr": LR_BB},
+         {"params": projectors, "lr": LR_PROJ},
+         {"params": [logit_scale], "lr": LR_HEAD}],
+        betas=(0.9, 0.999), eps=1e-8, weight_decay=WD)
+    losses = []
+    for i in range(N_STEPS):
+        for group, base in zip(opt.param_groups, (LR_BB, LR_PROJ, LR_HEAD)):
+            group["lr"] = _ref_lr(i, base)
+        opt.zero_grad()
+        img_f = oracle_encode_image(sd, images, layers=V.layers,
+                                    n_heads=V.heads, patch=V.patch_size)
+        txt_f = oracle_encode_text(sd, tokens, layers=T.layers,
+                                   n_heads=T.heads)
+        logits = logit_scale.exp() * (img_f @ txt_f.T)
+        labels = torch.arange(img_f.shape[0])
+        loss = 0.5 * (torch.nn.functional.cross_entropy(logits, labels)
+                      + torch.nn.functional.cross_entropy(logits.T, labels))
+        loss.backward()
+        opt.step()
+        losses.append(loss.item())
+    return (losses, {k: v.detach().numpy() for k, v in sd.items()},
+            logit_scale.item())
+
+
+def test_fullscale_flyp_trajectory_matches_torch(fullscale_fixtures):
+    sd0, images, _, head0 = fullscale_fixtures
+    g = torch.Generator().manual_seed(41)
+    tokens = torch.randint(1, T.vocab_size - 1, (B, T.context_length),
+                           generator=g)
+    tokens[:, -2] = T.vocab_size - 1   # EOT = highest id, fixed position
+
+    t_losses, t_sd, t_ls = _torch_twin_flyp(sd0, images, tokens)
+    assert t_losses[-1] < t_losses[0]          # it actually trains
+
+    params, ls0 = torch_state_dict_to_params(
+        {k: v.clone() for k, v in sd0.items()},
+        vision_layers=V.layers, text_layers=T.layers)
+    model = CLIPModel(CFG, precision=FP32_PRECISION)
+    state, tx = create_train_state(
+        params, head0.numpy(), "FLYP", lr_classifier=LR_HEAD,
+        lr_backbone=LR_BB, lr_projector=LR_PROJ, total_iter=N_STEPS,
+        wd=WD, logit_scale=ls0, warmup_iter=WARM)
+    step = steps_mod.make_flyp_step(model, tx, image_size=V.image_size)
+    batch = {"images": jnp.asarray(images.numpy()),
+             "prompt_tokens": jnp.asarray(tokens.numpy()),
+             "source": jnp.zeros((B,), jnp.int32)}
+    j_losses = []
+    for _ in range(N_STEPS):
+        state, loss = step(state, batch, jax.random.PRNGKey(0))
+        j_losses.append(float(loss))
+
+    np.testing.assert_allclose(j_losses, t_losses, rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(float(state.logit_scale), t_ls,
+                               rtol=0, atol=1e-5)
+    # the head is NOT an optimizer param in FLYP: no phantom decay
+    np.testing.assert_array_equal(np.asarray(state.head), head0.numpy())
+
+    j_sd = _jax_sd(state)
+    moved = 0
+    for k, ref in t_sd.items():
+        if k == "logit_scale":
+            continue
+        moved += _delta_check(k, sd0[k].numpy(), ref, j_sd[k])
+    # BOTH towers trained: ~16 tensors/block x 24 blocks + embeddings
+    assert moved > 250, f"only {moved} tensors moved"
+    for k in ("visual.proj", "text_projection", "token_embedding.weight",
+              "positional_embedding"):
+        assert np.abs(t_sd[k] - sd0[k].numpy()).max() > 0, k
