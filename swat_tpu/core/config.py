@@ -220,7 +220,30 @@ class RunConfig:
     def num_classes(self) -> int:
         if self.method == "dataset-cls":
             return 2
+        if self.dataset not in NUM_CLASSES_DICT:
+            # Custom dataset: the reference requires editing its hard-coded
+            # NUM_CLASSES_DICT (utils/datasets/dataset_utils.py:13-24); here
+            # an unregistered dataset infers its class count from the
+            # metrics JSON (required for prompt building anyway) or, absent
+            # that, from the labels in test.txt — and registers itself for
+            # the rest of the process.
+            NUM_CLASSES_DICT[self.dataset] = self._infer_num_classes()
         return NUM_CLASSES_DICT[self.dataset]
+
+    def _infer_num_classes(self) -> int:
+        if os.path.exists(self.metrics_file):
+            import json
+            with open(self.metrics_file) as f:
+                return len(json.load(f))
+        test_txt = os.path.join(self.dataset_dir, "test.txt")
+        if os.path.exists(test_txt):
+            with open(test_txt) as f:
+                labels = {int(ln.split()[1]) for ln in f if ln.strip()}
+            return max(labels) + 1
+        raise KeyError(
+            f"dataset {self.dataset!r} is not registered and neither "
+            f"{self.metrics_file} nor {test_txt} exists to infer its "
+            "class count")
 
     @property
     def dataset_root(self) -> str:

@@ -107,7 +107,10 @@ class EvalLoader:
         self.samples = list(samples)
         self.batch_size = batch_size
         self.n_px = n_px
-        self.num_workers = num_workers
+        # torch DataLoader semantics: num_workers=0 means load in-process
+        # (reference utils/dataloader.py passes it straight through); a
+        # 1-thread pool is the threaded-loader equivalent.
+        self.num_workers = max(1, num_workers)
 
     def __len__(self):
         return (len(self.samples) + self.batch_size - 1) // self.batch_size
@@ -226,7 +229,7 @@ class TrainLoader:
         self.mode = mode
         self.n_px = n_px
         self.canvas = canvas
-        self.num_workers = num_workers
+        self.num_workers = max(1, num_workers)  # 0 = in-process (torch parity)
         self.tokenized_prompts = tokenized_prompts
         self._rng = np.random.default_rng(seed)
         self._epoch = 0

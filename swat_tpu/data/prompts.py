@@ -143,7 +143,10 @@ def load_class_metrics(path: str) -> Dict[str, dict]:
 
 
 def get_templates(dataset: str, name_type: str) -> List[str]:
-    tpl = TEMPLATES[dataset]
+    # custom datasets fall back to the generic CLIP template (the
+    # reference's prompt dicts are hard-coded per benchmark,
+    # utils/prompt.py; users must edit source to add one)
+    tpl = TEMPLATES.get(dataset, ["a photo of a {}."])
     if isinstance(tpl, dict):  # semi-aves has per-name-type templates
         return tpl[name_type]
     return tpl

@@ -138,3 +138,26 @@ def test_no_dead_cli_flags():
                 rf"(cfg|args|self|config|run_cfg|stage_cfg)\.{d}\b"
                 rf"|getattr\([^,]+, \"{d}\"", body)]
     assert not dead, f"CLI flags accepted but never read: {dead}"
+
+
+def test_archive_retrieved_zip_layout(tmp_path):
+    """scripts/archive_retrieved.sh zips each <ds>_retrieved_* folder with
+    the reference's (cd parent && zip -r out name) member layout
+    (backup_scripts/zip_retrieved_images.sh), via the python-zipfile
+    fallback on images without a zip binary."""
+    import subprocess
+    import zipfile
+
+    folder = tmp_path / "dtd" / "dtd_retrieved_LAION400M-all_synonyms-random"
+    os.makedirs(folder / "class_a")
+    (folder / "class_a" / "1.jpg").write_bytes(b"jpegbytes")
+    out = tmp_path / "zips"
+    res = subprocess.run(
+        ["bash", "/root/repo/scripts/archive_retrieved.sh", "zip",
+         str(tmp_path), str(out)], capture_output=True, text=True)
+    assert res.returncode == 0, res.stderr
+    zpath = out / "dtd_retrieved_LAION400M-all_synonyms-random.zip"
+    names = zipfile.ZipFile(zpath).namelist()
+    # members rooted at the folder name, so unpacking reproduces the tree
+    assert any(n == "dtd_retrieved_LAION400M-all_synonyms-random/class_a/1.jpg"
+               for n in names), names

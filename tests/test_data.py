@@ -63,6 +63,17 @@ def test_eval_loader_pads_and_masks(image_dataset):
     assert total == 30
 
 
+def test_loaders_accept_zero_workers(image_dataset):
+    """--num_workers 0 = in-process loading (torch DataLoader semantics;
+    the reference passes it straight into DataLoader).  Regression: a raw
+    ThreadPoolExecutor(0) raises ValueError."""
+    root, samples = image_dataset
+    ev = EvalLoader(samples, batch_size=8, n_px=32, num_workers=0)
+    assert sum(int(b["mask"].sum()) for b in ev) == 30
+    tr = TrainLoader(samples, batch_size=8, seed=1, canvas=64, num_workers=0)
+    assert next(iter(tr))["canvases"].shape[0] == 8
+
+
 def test_train_loader_canvas_mode(image_dataset):
     root, samples = image_dataset
     loader = TrainLoader(samples, batch_size=8, seed=1, canvas=64,

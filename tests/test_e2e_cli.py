@@ -172,6 +172,40 @@ def test_cli_parse_matches_reference_flags(dataset_dir, tmp_path):
                          "--remat", "dots_all"]).remat == "dots_all"
 
 
+def test_custom_dataset_infers_classes_and_templates(tmp_path):
+    """A dataset absent from NUM_CLASSES_DICT works end-to-end at config
+    level: class count inferred from the metrics JSON (or test.txt labels)
+    and prompts fall back to the generic CLIP template — the reference
+    instead requires editing its hard-coded dicts
+    (utils/datasets/dataset_utils.py:13-24, utils/prompt.py)."""
+    from swat_tpu.core.config import RunConfig
+    from swat_tpu.data.prompts import get_templates
+    from swat_tpu.data.registry import NUM_CLASSES_DICT
+
+    name = "my_custom_ds"
+    assert name not in NUM_CLASSES_DICT
+    root = tmp_path / name
+    os.makedirs(root)
+    try:
+        # metrics JSON present: class count = number of entries
+        metrics = {str(c): {"name": f"c{c}"} for c in range(5)}
+        with open(root / f"{name}_metrics-LAION400M.json", "w") as f:
+            json.dump(metrics, f)
+        cfg = RunConfig(dataset=name, model_cfg="test_tiny",
+                        dataset_path=str(tmp_path),
+                        retrieved_path=str(tmp_path)).derived()
+        assert cfg.num_classes == 5
+        assert get_templates(name, "most_common_name") == ["a photo of a {}."]
+        # no metrics JSON: falls back to max test.txt label + 1
+        NUM_CLASSES_DICT.pop(name)
+        os.remove(root / f"{name}_metrics-LAION400M.json")
+        with open(root / "test.txt", "w") as f:
+            f.write("a.jpg 0 0\nb.jpg 6 0\n")
+        assert cfg.num_classes == 7
+    finally:
+        NUM_CLASSES_DICT.pop(name, None)
+
+
 def test_resident_off_matches_streaming_learning(dataset_dir, tmp_path):
     """cutmix with --resident off (streaming twin of the resident path)
     still trains through the pipeline."""
