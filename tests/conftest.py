@@ -26,7 +26,23 @@ import jax
 # into its config — env vars set above are too late; update the live
 # config (legal until the first backend initialization)
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/swat_jax_cache")
+
+# Key the persistent compile cache by the host's CPU feature set: XLA:CPU
+# codegen (and thus fp32 reduction rounding) depends on the machine, and
+# a cache populated on host A is AOT-loaded on host B with a "machine
+# type doesn't match" warning — observed to flip rounding-zero gradient
+# signs and make the full-scale twin tests host-dependent (r5 item 1).
+import hashlib
+
+try:
+    with open("/proc/cpuinfo") as _f:
+        _cpu_key = hashlib.md5(
+            next((l for l in _f if l.startswith("flags")), "").encode()
+        ).hexdigest()[:8]
+except OSError:
+    _cpu_key = "nocpuinfo"
+jax.config.update("jax_compilation_cache_dir",
+                  f"/tmp/swat_jax_cache_{_cpu_key}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 assert jax.default_backend() == "cpu", (

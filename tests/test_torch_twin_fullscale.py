@@ -80,7 +80,10 @@ def fullscale_fixtures():
 
 
 def _torch_twin(sd0, batches, head0):
-    """batches: list of (images, y_a, y_b, lam) — lam=1, y_a==y_b for CE."""
+    """batches: list of (images, y_a, y_b, lam) — lam=1, y_a==y_b for CE.
+    Returns (losses, final_sd, head, logit_scale, g0) where g0 is the
+    FIRST-step gradient per visual tensor — the quantity the tolerance
+    model conditions on (see _delta_check)."""
     sd = {k: v.clone().detach() for k, v in sd0.items()}
     vis_params = []
     for k, v in sd.items():
@@ -94,6 +97,7 @@ def _torch_twin(sd0, batches, head0):
          {"params": [head, logit_scale], "lr": LR_HEAD}],
         betas=(0.9, 0.999), eps=1e-8, weight_decay=WD)
     losses = []
+    g0 = {}
     for i, (imgs, y_a, y_b, lam) in enumerate(batches):
         for group, base in zip(opt.param_groups, (LR_BB, LR_HEAD)):
             group["lr"] = _ref_lr(i, base)
@@ -105,15 +109,38 @@ def _torch_twin(sd0, batches, head0):
                 + (1.0 - lam)
                 * torch.nn.functional.cross_entropy(logits, y_b))
         loss.backward()
+        if i == 0:
+            g0 = {k: v.grad.detach().clone().numpy()
+                  for k, v in sd.items() if v.grad is not None}
         opt.step()
         losses.append(loss.item())
     return (losses, {k: v.detach().numpy() for k, v in sd.items()},
-            head.detach().numpy(), logit_scale.item())
+            head.detach().numpy(), logit_scale.item(), g0)
 
 
-def _delta_check(k, init, ref, got):
+def _lr_sum(base: float) -> float:
+    return sum(_ref_lr(i, base) for i in range(N_STEPS))
+
+
+def _delta_check(k, init, ref, got, g0, lr_sum):
     """Delta-protocol comparison for ONE trained tensor; returns 1 if it
-    carried a real gradient (moved), 0 otherwise."""
+    carried a real gradient (moved), 0 otherwise.
+
+    Tolerance model (r5, measured by scripts/diag_g0_dist.py /
+    diag_flyp_twin.py): Adam's FIRST step is +-lr * sign(g0) for every
+    element regardless of |g0| (m_hat/sqrt(v_hat) = sign at t=0), so an
+    element whose first-step gradient is pure cancellation noise takes a
+    full warmup_lr step whose SIGN depends on the framework's fp32
+    reduction order — a persistent +-lr offset that no backward fix can
+    remove.  Measured: every mismatching element across CE/cutmix/FLYP
+    full-scale twins has |g0| <= 2.4e-3 x median|g0| of its tensor, and at
+    tau = 1e-2 x median|g0| ZERO gradient-carrying elements mismatch.  So:
+      * elements with |g0| > tau must ALL satisfy the 2% + 2ULP rule
+        (no flat count floor — r4's floor of 2 was the miscalibration
+        that made this host-CPU-dependent);
+      * noise elements may diverge, but only within the Adam random walk
+        (2 x sum of per-step lr) plus the shared tolerance.
+    """
     d_ref = ref - init
     d_got = got - init
     if k.endswith("attn.in_proj_bias"):
@@ -128,9 +155,8 @@ def _delta_check(k, init, ref, got):
         bound = N_STEPS * LR_BB * 1.5
         assert np.abs(d_ref[d:2 * d]).max() <= bound, k
         assert np.abs(d_got[d:2 * d]).max() <= bound, k
-        d_ref = np.concatenate([d_ref[:d], d_ref[2 * d:]])
-        d_got = np.concatenate([d_got[:d], d_got[2 * d:]])
-        init = np.concatenate([init[:d], init[2 * d:]])
+        sel = np.r_[0:d, 2 * d:3 * d]
+        d_ref, d_got, init, g0 = d_ref[sel], d_got[sel], init[sel], g0[sel]
     scale = np.abs(d_ref).max()
     if scale == 0:
         np.testing.assert_array_equal(got, ref, err_msg=k)
@@ -141,23 +167,37 @@ def _delta_check(k, init, ref, got):
     # scales near 1.0 (ULP ~1.2e-7) the entire lr=1e-6
     # trajectory spans only ~19 representable values and a
     # 1-ULP rounding difference is 5% of the delta (measured
-    # on ln_pre).  On >=99.98% of elements; the residual is
-    # Adam's sign-like m/sqrt(v) flipping a full-sized step
-    # where the gradient lands at rounding-zero with
-    # opposite tiny signs (measured: 139/2.36M on conv1).
+    # on ln_pre).
     ulp = float(np.spacing(
         np.float32(np.abs(init).max() + np.abs(scale))))
-    bad = np.abs(d_got - d_ref) > 2e-2 * scale + 2 * ulp
-    # absolute floor of 2: a small bias tensor can catch 1-2
-    # rounding-zero sign flips; a systematic divergence
-    # would move a macroscopic fraction
-    assert bad.sum() <= max(2, 2e-4 * bad.size), (
-        f"{k}: {bad.sum()}/{bad.size} delta mismatches")
+    tol = 2e-2 * scale + 2 * ulp
+    diff = np.abs(d_got - d_ref)
+    bad = diff > tol
+    # median over NONZERO first-step gradients: embedding tables get
+    # structurally-exact-zero grads on untouched vocab rows (FLYP touches
+    # ~308/49408), and an exact-zero grad means a deterministic
+    # decay-only trajectory in BOTH frameworks — those elements stay in
+    # the strict class, and must not drag the noise threshold to zero.
+    g0_abs = np.abs(g0)
+    g0_nz = g0_abs[g0_abs > 0]
+    assert g0_nz.size > 0, f"{k}: no first-step gradient anywhere"
+    g0_med = float(np.median(g0_nz))
+    noise = (g0_abs > 0) & (g0_abs <= 1e-2 * g0_med)
+    hard = bad & ~noise
+    assert hard.sum() == 0, (
+        f"{k}: {hard.sum()}/{hard.size} gradient-carrying delta "
+        f"mismatches (max diff {diff[hard].max() if hard.any() else 0:.3e}"
+        f" vs tol {tol:.3e}) — genuine backward divergence")
+    if bad.any():
+        walk = 2.05 * lr_sum + tol
+        assert diff[bad].max() <= walk, (
+            f"{k}: noise-g0 element diverged {diff[bad].max():.3e} beyond "
+            f"the Adam walk bound {walk:.3e}")
     return 1
 
 
 def _compare(sd0, t, j):
-    t_losses, t_sd, t_head, t_ls = t
+    t_losses, t_sd, t_head, t_ls, g0 = t
     j_losses, j_sd, j_head, j_ls = j
     np.testing.assert_allclose(j_losses, t_losses, rtol=5e-4, atol=5e-5)
     np.testing.assert_allclose(j_ls, t_ls, rtol=0, atol=1e-5)
@@ -168,7 +208,8 @@ def _compare(sd0, t, j):
             continue
         init = sd0[k].numpy()
         if k.startswith("visual."):
-            moved += _delta_check(k, init, ref, j_sd[k])
+            moved += _delta_check(k, init, ref, j_sd[k], g0[k],
+                                  _lr_sum(LR_BB))
         else:
             np.testing.assert_array_equal(j_sd[k], init, err_msg=k)
     # the trajectory genuinely trained: most visual tensors moved
@@ -280,6 +321,7 @@ def _torch_twin_flyp(sd0, images, tokens):
          {"params": [logit_scale], "lr": LR_HEAD}],
         betas=(0.9, 0.999), eps=1e-8, weight_decay=WD)
     losses = []
+    g0 = {}
     for i in range(N_STEPS):
         for group, base in zip(opt.param_groups, (LR_BB, LR_PROJ, LR_HEAD)):
             group["lr"] = _ref_lr(i, base)
@@ -293,10 +335,13 @@ def _torch_twin_flyp(sd0, images, tokens):
         loss = 0.5 * (torch.nn.functional.cross_entropy(logits, labels)
                       + torch.nn.functional.cross_entropy(logits.T, labels))
         loss.backward()
+        if i == 0:
+            g0 = {k: v.grad.detach().clone().numpy()
+                  for k, v in sd.items() if v.grad is not None}
         opt.step()
         losses.append(loss.item())
     return (losses, {k: v.detach().numpy() for k, v in sd.items()},
-            logit_scale.item())
+            logit_scale.item(), g0)
 
 
 def test_fullscale_flyp_trajectory_matches_torch(fullscale_fixtures):
@@ -306,7 +351,7 @@ def test_fullscale_flyp_trajectory_matches_torch(fullscale_fixtures):
                            generator=g)
     tokens[:, -2] = T.vocab_size - 1   # EOT = highest id, fixed position
 
-    t_losses, t_sd, t_ls = _torch_twin_flyp(sd0, images, tokens)
+    t_losses, t_sd, t_ls, g0 = _torch_twin_flyp(sd0, images, tokens)
     assert t_losses[-1] < t_losses[0]          # it actually trains
 
     params, ls0 = torch_state_dict_to_params(
@@ -337,7 +382,10 @@ def test_fullscale_flyp_trajectory_matches_torch(fullscale_fixtures):
     for k, ref in t_sd.items():
         if k == "logit_scale":
             continue
-        moved += _delta_check(k, sd0[k].numpy(), ref, j_sd[k])
+        base = (LR_PROJ if k in ("visual.proj", "text_projection")
+                else LR_BB)
+        moved += _delta_check(k, sd0[k].numpy(), ref, j_sd[k], g0[k],
+                              _lr_sum(base))
     # BOTH towers trained: ~16 tensors/block x 24 blocks + embeddings
     assert moved > 250, f"only {moved} tensors moved"
     for k in ("visual.proj", "text_projection", "token_embedding.weight",
