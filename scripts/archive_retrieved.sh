@@ -26,17 +26,26 @@ case "$cmd" in
   zip)
     root="${1:?retrieved root}"; out="${2:-$root/zipped_images}"
     mkdir -p "$out"
+    # canonicalize: the zip branch cd's into $parent, so a relative
+    # out_dir/root would resolve against $parent instead of the caller's
+    # cwd (and the python fallback would disagree)
+    out="$(cd "$out" && pwd)"
+    root="$(cd "$root" && pwd)"
     find "$root" -maxdepth 2 -type d -name '*_retrieved_*' | while read -r folder; do
       name="$(basename "$folder")"; parent="$(dirname "$folder")"
       echo "Zipping $folder -> $out/$name.zip"
-      if command -v zip >/dev/null 2>&1; then
+      if command -v zip >/dev/null 2>&1 && [ -z "${ARCHIVE_FORCE_PY:-}" ]; then
         (cd "$parent" && zip -qr "$out/$name.zip" "$name")
       else
+        # fallback mirrors `zip -r` layout incl. directory entries for
+        # empty dirs; force with ARCHIVE_FORCE_PY=1 (tested both ways)
         python - "$parent" "$name" "$out/$name.zip" <<'PY'
 import os, sys, zipfile
 parent, name, dest = sys.argv[1:]
 with zipfile.ZipFile(dest, "w", zipfile.ZIP_DEFLATED) as z:
-    for dirpath, _, files in os.walk(os.path.join(parent, name)):
+    for dirpath, dirnames, files in os.walk(os.path.join(parent, name)):
+        if not files and not dirnames:
+            z.writestr(os.path.relpath(dirpath, parent) + "/", "")
         for f in files:
             p = os.path.join(dirpath, f)
             z.write(p, os.path.relpath(p, parent))

@@ -173,7 +173,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_data", type=int, default=-1)
     p.add_argument("--mesh_model", type=int, default=1)
     p.add_argument("--aug_mode", type=str, default="canvas",
-                   choices=["canvas", "host"])
+                   choices=["canvas", "host", "eval"],
+                   help="canvas: on-device augment; host: reference PIL "
+                        "augment; eval: DETERMINISTIC eval preprocess on "
+                        "train batches (differential-oracle harness)")
     p.add_argument("--use_pallas", default=False, type=str2bool)
     p.add_argument("--remat", default=False, type=str2remat,
                    help="False | True/full (checkpoint whole blocks) | "

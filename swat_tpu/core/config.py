@@ -16,6 +16,10 @@ from swat_tpu.data.registry import NUM_CLASSES_DICT
 
 SplitSpec = Tuple[List[str], List[str]]
 
+# unregistered-dataset class counts, keyed (name, dataset_dir) — see
+# RunConfig.num_classes
+_INFERRED_NUM_CLASSES: dict = {}
+
 
 @dataclasses.dataclass(frozen=True)
 class RunConfig:
@@ -225,9 +229,13 @@ class RunConfig:
             # NUM_CLASSES_DICT (utils/datasets/dataset_utils.py:13-24); here
             # an unregistered dataset infers its class count from the
             # metrics JSON (required for prompt building anyway) or, absent
-            # that, from the labels in test.txt — and registers itself for
-            # the rest of the process.
-            NUM_CLASSES_DICT[self.dataset] = self._infer_num_classes()
+            # that, from split-file labels.  Cached per (name, dataset_dir)
+            # so a second RunConfig reusing the NAME with a different
+            # dataset_path cannot inherit the first inference.
+            key = (self.dataset, self.dataset_dir)
+            if key not in _INFERRED_NUM_CLASSES:
+                _INFERRED_NUM_CLASSES[key] = self._infer_num_classes()
+            return _INFERRED_NUM_CLASSES[key]
         return NUM_CLASSES_DICT[self.dataset]
 
     def _infer_num_classes(self) -> int:
@@ -235,15 +243,35 @@ class RunConfig:
             import json
             with open(self.metrics_file) as f:
                 return len(json.load(f))
-        test_txt = os.path.join(self.dataset_dir, "test.txt")
-        if os.path.exists(test_txt):
-            with open(test_txt) as f:
-                labels = {int(ln.split()[1]) for ln in f if ln.strip()}
-            return max(labels) + 1
+        # union labels over EVERY available split file: rare classes can
+        # be absent from test.txt (e.g. retrieved-only classes), and a
+        # max()-over-one-file inference would silently build a too-small
+        # classifier head
+        labels: set = set()
+        found = []
+        for d in {self.dataset_dir, self.retrieved_dir}:
+            if not os.path.isdir(d):
+                continue
+            for fn in os.listdir(d):
+                if not fn.endswith(".txt"):
+                    continue
+                path = os.path.join(d, fn)
+                try:
+                    with open(path) as f:
+                        labels.update(int(ln.split()[1]) for ln in f
+                                      if ln.strip())
+                    found.append(fn)
+                except (ValueError, IndexError, OSError):
+                    continue   # not a split file
+        if labels:
+            n = max(labels) + 1
+            print(f"Inferred num_classes={n} for unregistered dataset "
+                  f"{self.dataset!r} from splits {sorted(found)}")
+            return n
         raise KeyError(
             f"dataset {self.dataset!r} is not registered and neither "
-            f"{self.metrics_file} nor {test_txt} exists to infer its "
-            "class count")
+            f"{self.metrics_file} nor any split .txt under "
+            f"{self.dataset_dir} exists to infer its class count")
 
     @property
     def dataset_root(self) -> str:

@@ -213,7 +213,12 @@ class TrainLoader:
 
     mode='canvas' (default): uint8 canvases + valid_hw for on-device
     augmentation.  mode='host': fully augmented float images (exact
-    reference PIL semantics, parity/debug path).
+    reference PIL semantics, parity/debug path).  mode='eval': the
+    DETERMINISTIC eval preprocess applied to train batches — the
+    differential-oracle harness runs the reference with the same
+    substitution (tests/reference_shims/run_reference.py
+    --deterministic-train-aug) so the two trajectories can be
+    lock-stepped without matching torch-vs-jax augmentation RNG.
     """
 
     def __init__(self, samples: Sequence[Sample], batch_size: int = 32,
@@ -245,6 +250,11 @@ class TrainLoader:
         rng = np.random.default_rng(seed)
         return host_train_preprocess(load_image(s.path), rng, self.n_px)
 
+    def _load_eval(self, s: Sample):
+        from swat_tpu.data.transforms import eval_preprocess
+
+        return eval_preprocess(load_image(s.path), self.n_px)
+
     def _batches(self) -> Iterator[Dict[str, np.ndarray]]:
         order = self._rng.permutation(len(self.samples))
         bs = self.batch_size
@@ -271,6 +281,9 @@ class TrainLoader:
                             [c for c, _ in loaded])
                         batch["valid_hw"] = np.array(
                             [hw for _, hw in loaded], np.int32)
+                elif self.mode == "eval":
+                    images = list(pool.map(self._load_eval, chunk))
+                    batch["images"] = np.stack(images).astype(np.float32)
                 else:
                     seeds = self._rng.integers(2 ** 63, size=len(chunk))
                     images = list(pool.map(self._load_host_aug,

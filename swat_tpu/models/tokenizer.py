@@ -231,7 +231,8 @@ class HFTokenizerAdapter:
         return tokenize_batch(self, texts, context_length)
 
 
-def get_tokenizer(bpe_path: str | None = None):
+def get_tokenizer(bpe_path: str | None = None,
+                  vocab_size: int | None = None):
     """Best available tokenizer for the given asset path:
     * file (``bpe_simple_vocab_16e6.txt[.gz]``) -> SimpleTokenizer
     * directory with HF vocab.json/merges.txt   -> HFTokenizerAdapter
@@ -241,10 +242,16 @@ def get_tokenizer(bpe_path: str | None = None):
     raises — silently substituting the hash tokenizer would build prompt
     embeddings and the text-initialized head from meaningless tokens
     while training proceeds to near-random accuracy (open_clip fails
-    loudly here too)."""
+    loudly here too).
+
+    ``vocab_size`` sizes the HashTokenizer fallback to the MODEL's
+    vocabulary (real BPE assets ignore it): without it, tiny test models
+    (vocab 512) received 49408-range hash ids that the embedding gather
+    silently clamped to the last row, collapsing every prompt token to
+    one embedding."""
     explicit = bpe_path or os.environ.get("SWAT_BPE_PATH")
     if explicit and os.path.isdir(explicit):
         return HFTokenizerAdapter(explicit)
     if explicit:
         return SimpleTokenizer(explicit)
-    return HashTokenizer()
+    return HashTokenizer(vocab_size or VOCAB_SIZE)

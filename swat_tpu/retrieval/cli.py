@@ -100,7 +100,8 @@ def cmd_filter_synonyms(args):
 
     with open(args.synonyms) as f:
         names = json.load(f)
-    tok = get_tokenizer(args.bpe_path)
+    tok = get_tokenizer(args.bpe_path,
+                        vocab_size=cfg.text.vocab_size)
     t0 = time.time()
     names = filter_synonyms(encode, tok, names,
                             context_length=cfg.text.context_length,
@@ -278,7 +279,8 @@ def cmd_extract(args):
     samples = find_mined_images(args.mined_dir)
     with open(args.caption_map) as f:
         cmap = json.load(f)
-    tok = get_tokenizer(args.bpe_path)
+    tok = get_tokenizer(args.bpe_path,
+                        vocab_size=cfg.text.vocab_size)
     t0 = time.time()
     feats = extract_mined_features(
         model, params, samples, cmap, tok, mesh=mesh,

@@ -59,17 +59,51 @@ struct Handle {
   FlatIndex* flat = nullptr;
 };
 
-// unicode61-style Latin diacritic folding (NFD base letter), generated
-// from unicodedata and differential-fuzzed against the python engine's
-// _fold_diacritics: U+00C0-U+00FF and U+0100-U+017F ('.' = no
-// decomposition -> the character acts as a token separator, same as the
-// python engine; a documented divergence from unicode61 for ø/æ/ß and
-// non-Latin scripts, PARITY.md).
-static const char kLatin1Fold[] =
-    "aaaaaa.ceeeeiiii.nooooo..uuuuy..aaaaaa.ceeeeiiii.nooooo..uuuuy.y";
-static const char kLatinAFold[] =
-    "aaaaaaccccccccdd..eeeeeeeeeegggggggghh..iiiiiiiii...jjkk.llllll."
-    "...nnnnnn...oooooo..rrrrrrsssssssstttt..uuuuuuuuuuuuwwyyyzzzzzz.";
+// unicode61(remove_diacritics=1) tokenization, EXACT: the per-codepoint
+// classification tables in unicode61_table.h are extracted from sqlite's
+// executed behavior (scripts/gen_unicode61_table.py reads FTS5's own
+// tokens back through fts5vocab for every codepoint).  Token chars are
+// alphanumerics of any script, combining marks are dropped mid-token,
+// precomposed Latin folds to its base (u-umlaut -> u) while o-slash /
+// ae / eszett / l-stroke / non-Latin keep identity, case lowers.
+#include "unicode61_table.h"
+
+static inline bool u61_in(uint32_t cp, const U61Range* r, size_t n) {
+  size_t lo = 0, hi = n;
+  while (lo < hi) {
+    const size_t m = (lo + hi) / 2;
+    if (r[m].hi < cp) lo = m + 1; else hi = m;
+  }
+  return lo < n && r[lo].lo <= cp && cp <= r[lo].hi;
+}
+
+static inline const U61Fold* u61_fold(uint32_t cp) {
+  size_t lo = 0, hi = sizeof(kU61Folds) / sizeof(kU61Folds[0]);
+  while (lo < hi) {
+    const size_t m = (lo + hi) / 2;
+    if (kU61Folds[m].cp < cp) lo = m + 1; else hi = m;
+  }
+  if (lo < sizeof(kU61Folds) / sizeof(kU61Folds[0]) &&
+      kU61Folds[lo].cp == cp) return &kU61Folds[lo];
+  return nullptr;
+}
+
+static inline void u61_emit(uint32_t cp, std::string* out) {
+  if (cp < 0x80) { out->push_back(static_cast<char>(cp)); return; }
+  if (cp < 0x800) {
+    out->push_back(static_cast<char>(0xC0 | (cp >> 6)));
+    out->push_back(static_cast<char>(0x80 | (cp & 0x3F)));
+  } else if (cp < 0x10000) {
+    out->push_back(static_cast<char>(0xE0 | (cp >> 12)));
+    out->push_back(static_cast<char>(0x80 | ((cp >> 6) & 0x3F)));
+    out->push_back(static_cast<char>(0x80 | (cp & 0x3F)));
+  } else {
+    out->push_back(static_cast<char>(0xF0 | (cp >> 18)));
+    out->push_back(static_cast<char>(0x80 | ((cp >> 12) & 0x3F)));
+    out->push_back(static_cast<char>(0x80 | ((cp >> 6) & 0x3F)));
+    out->push_back(static_cast<char>(0x80 | (cp & 0x3F)));
+  }
+}
 
 inline void tokenize(const std::string& text, std::vector<std::string>* out) {
   std::string cur;
@@ -79,25 +113,42 @@ inline void tokenize(const std::string& text, std::vector<std::string>* out) {
   const unsigned char* p =
       reinterpret_cast<const unsigned char*>(text.data());
   const size_t n = text.size();
-  for (size_t i = 0; i < n; ++i) {
+  size_t i = 0;
+  while (i < n) {
     const unsigned char c = p[i];
-    if (c < 0x80) {
+    if (c < 0x80) {                                   // ASCII fast path
       if (std::isalnum(c)) cur.push_back(static_cast<char>(std::tolower(c)));
       else flush();
+      ++i;
       continue;
     }
-    char folded = 0;
-    if ((c == 0xC3 || c == 0xC4 || c == 0xC5) && i + 1 < n &&
-        (p[i + 1] & 0xC0) == 0x80) {
-      const unsigned cp = ((c & 0x1Fu) << 6) | (p[i + 1] & 0x3Fu);
-      char m = '.';
-      if (cp >= 0xC0 && cp < 0x100) m = kLatin1Fold[cp - 0xC0];
-      else if (cp >= 0x100 && cp < 0x180) m = kLatinAFold[cp - 0x100];
-      if (m != '.') folded = m;
-      ++i;  // consume the continuation byte either way
+    // UTF-8 decode; malformed bytes act as separators
+    uint32_t cp = 0;
+    size_t len = 0;
+    if ((c & 0xE0) == 0xC0) { cp = c & 0x1F; len = 2; }
+    else if ((c & 0xF0) == 0xE0) { cp = c & 0x0F; len = 3; }
+    else if ((c & 0xF8) == 0xF0) { cp = c & 0x07; len = 4; }
+    if (len == 0 || i + len > n) { flush(); ++i; continue; }
+    bool ok = true;
+    for (size_t k = 1; k < len; ++k) {
+      if ((p[i + k] & 0xC0) != 0x80) { ok = false; break; }
+      cp = (cp << 6) | (p[i + k] & 0x3F);
     }
-    if (folded) cur.push_back(folded);
-    else flush();  // unfoldable non-ASCII separates tokens
+    if (!ok) { flush(); ++i; continue; }
+    i += len;
+    if (const U61Fold* f = u61_fold(cp)) {            // non-identity fold
+      u61_emit(f->to[0], &cur);
+      if (f->to[1]) u61_emit(f->to[1], &cur);
+    } else if (u61_in(cp, kU61Identity,
+                      sizeof(kU61Identity) / sizeof(kU61Identity[0]))) {
+      u61_emit(cp, &cur);                             // identity token char
+    } else if (u61_in(cp, kU61Transparent,
+                      sizeof(kU61Transparent) /
+                      sizeof(kU61Transparent[0]))) {
+      // transparent: dropped, token continues
+    } else {
+      flush();                                        // separator
+    }
   }
   flush();
 }

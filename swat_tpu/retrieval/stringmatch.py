@@ -53,26 +53,61 @@ def normalize_caption(text: str) -> str:
             .replace("-", " ").replace("_", " "))
 
 
-def _fold_diacritics(text: str) -> str:
-    """unicode61's remove_diacritics: NFD-decompose, drop combining
-    marks — 'café' tokenizes to 'cafe' exactly as FTS5 does (the shipped
-    metrics contain 7 accented synonyms: café, château, caffè, pâté,
-    français, sauté).  Non-decomposable non-ASCII (ø, æ, ß, non-Latin
-    scripts) stays non-token and acts as a separator in BOTH our engines
-    — a documented divergence from unicode61, which keeps those as token
-    characters (PARITY.md)."""
-    import unicodedata
+# unicode61(remove_diacritics=1) tables, EXTRACTED from sqlite's executed
+# behavior per codepoint (scripts/gen_unicode61_table.py via fts5vocab):
+# token chars are alphanumerics of ANY script; standalone combining marks
+# are dropped mid-token; precomposed chars fold per sqlite's internal
+# Latin table (ü->u, é->e, ḡ->g) while ø/æ/ß/ł/ё/ά keep their identity;
+# case folds to lowercase in every script.  r4 shipped an NFD
+# approximation that separated on ø/æ/ß/non-Latin — the r5 differential
+# oracle runs non-ASCII corpora, so both engines now reproduce the table.
+from swat_tpu.retrieval import _unicode61 as _U61
 
-    d = unicodedata.normalize("NFD", text)
-    return "".join(ch for ch in d if not unicodedata.combining(ch))
+_ID_LO = [a for a, _ in _U61.IDENTITY_RANGES]
+_ID_HI = [b for _, b in _U61.IDENTITY_RANGES]
+_TR_LO = [a for a, _ in _U61.TRANSPARENT_RANGES]
+_TR_HI = [b for _, b in _U61.TRANSPARENT_RANGES]
+
+
+def _in_ranges(cp: int, lo, hi) -> bool:
+    import bisect
+
+    i = bisect.bisect_right(lo, cp) - 1
+    return i >= 0 and cp <= hi[i]
+
+
+def _u61_class(cp: int):
+    """None = separator, '' = transparent (dropped mid-token),
+    str = token character's folded form."""
+    f = _U61.FOLDS.get(cp)
+    if f is not None:
+        return f
+    if _in_ranges(cp, _ID_LO, _ID_HI):
+        return chr(cp)
+    if _in_ranges(cp, _TR_LO, _TR_HI):
+        return ""
+    return None
 
 
 def tokenize(text: str) -> List[str]:
-    """Lower-case alphanumeric tokens (FTS5 unicode61-style: ASCII +
-    Latin diacritic folding)."""
-    if not text.isascii():
-        text = _fold_diacritics(text)
-    return _TOKEN_RE.findall(text.lower())
+    """FTS5 unicode61(remove_diacritics=1) tokens — exact, per the
+    extracted tables (the ASCII fast path is the same classification:
+    [0-9a-z] identity, [A-Z] fold, rest separator)."""
+    if text.isascii():
+        return _TOKEN_RE.findall(text.lower())
+    out: List[str] = []
+    cur = ""
+    for ch in text:
+        c = _u61_class(ord(ch))
+        if c is None:
+            if cur:
+                out.append(cur)
+                cur = ""
+        else:
+            cur += c
+    if cur:
+        out.append(cur)
+    return out
 
 
 def is_phrase_query(raw_name: str) -> bool:

@@ -199,7 +199,8 @@ class SwatPipeline:
             jax.tree_util.tree_map(jnp.asarray, params))
         self.zeroshot_params = self.params  # immutable tree, safe to alias
 
-        self.tokenizer = get_tokenizer(cfg.bpe_path)
+        self.tokenizer = get_tokenizer(
+            cfg.bpe_path, vocab_size=self.model_cfg.text.vocab_size)
 
         # ---- prompts (reference set_prompt, utils/prompt.py:71-80)
         self.prompt_tensors, self.text_prompts, self.tokenized_prompts = (

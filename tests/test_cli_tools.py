@@ -140,24 +140,43 @@ def test_no_dead_cli_flags():
     assert not dead, f"CLI flags accepted but never read: {dead}"
 
 
-def test_archive_retrieved_zip_layout(tmp_path):
+import pathlib
+
+ARCHIVE_SH = str(pathlib.Path(__file__).resolve().parent.parent
+                 / "scripts" / "archive_retrieved.sh")
+
+
+@pytest.mark.parametrize("force_py", [False, True],
+                         ids=["zip-binary", "py-fallback"])
+def test_archive_retrieved_zip_layout(tmp_path, force_py):
     """scripts/archive_retrieved.sh zips each <ds>_retrieved_* folder with
     the reference's (cd parent && zip -r out name) member layout
-    (backup_scripts/zip_retrieved_images.sh), via the python-zipfile
-    fallback on images without a zip binary."""
+    (backup_scripts/zip_retrieved_images.sh).  Both branches are
+    exercised (ARCHIVE_FORCE_PY forces the python-zipfile fallback even
+    when a zip binary exists), with a RELATIVE out_dir (regression: the
+    zip branch cd's into the parent, so an uncanonicalized relative out
+    path used to fail with zip exit 15) and an empty class dir (the
+    fallback must keep directory entries like zip -r does)."""
     import subprocess
     import zipfile
 
     folder = tmp_path / "dtd" / "dtd_retrieved_LAION400M-all_synonyms-random"
     os.makedirs(folder / "class_a")
+    os.makedirs(folder / "class_empty")
     (folder / "class_a" / "1.jpg").write_bytes(b"jpegbytes")
-    out = tmp_path / "zips"
+    env = dict(os.environ)
+    if force_py:
+        env["ARCHIVE_FORCE_PY"] = "1"
     res = subprocess.run(
-        ["bash", "/root/repo/scripts/archive_retrieved.sh", "zip",
-         str(tmp_path), str(out)], capture_output=True, text=True)
+        ["bash", ARCHIVE_SH, "zip", str(tmp_path), "zips_rel"],
+        capture_output=True, text=True, cwd=tmp_path, env=env)
     assert res.returncode == 0, res.stderr
-    zpath = out / "dtd_retrieved_LAION400M-all_synonyms-random.zip"
+    zpath = tmp_path / "zips_rel" / (
+        "dtd_retrieved_LAION400M-all_synonyms-random.zip")
     names = zipfile.ZipFile(zpath).namelist()
     # members rooted at the folder name, so unpacking reproduces the tree
     assert any(n == "dtd_retrieved_LAION400M-all_synonyms-random/class_a/1.jpg"
+               for n in names), names
+    assert any(n.rstrip("/") ==
+               "dtd_retrieved_LAION400M-all_synonyms-random/class_empty"
                for n in names), names

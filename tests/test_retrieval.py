@@ -154,19 +154,33 @@ def test_fts5_oracle_differential(rng):
 
     This pins the FTS5 '+'-is-a-PHRASE-operator semantics (the
     reference's comment claims AND; the engine executes phrase — r4
-    fix).  ASCII-only corpus: unicode61's diacritic folding is a known,
-    documented non-goal (PARITY.md)."""
+    fix) AND unicode61's exact token classification (r5): trials 2-3 run
+    a non-ASCII corpus mixing foldable Latin diacritics (café, ḡamma),
+    non-decomposable Latin (ø æ ß ł), Cyrillic, Greek, CJK, and
+    decomposed combining marks — both engines reproduce the extracted
+    unicode61 tables (swat_tpu/retrieval/_unicode61.py)."""
     import sqlite3
 
     from swat_tpu.retrieval.indexer import build_library, NativeCaptionIndex
 
     have_native = build_library() is not None
-    vocab = ["plover", "semipalmated", "bird", "car", "honda", "red",
-             "2012", "the", "a", "sea-side", "o'hara", "green", ""]
-    names = ["semipalmated plover", "Sea-Side Bird", "honda car 2012",
-             "red bird", "bird red", "green plover car", "plover",
-             "F. A. O. bird", "bird (red)", "the a", "o'hara"]
+    vocab_ascii = ["plover", "semipalmated", "bird", "car", "honda", "red",
+                   "2012", "the", "a", "sea-side", "o'hara", "green", ""]
+    names_ascii = ["semipalmated plover", "Sea-Side Bird", "honda car 2012",
+                   "red bird", "bird red", "green plover car", "plover",
+                   "F. A. O. bird", "bird (red)", "the a", "o'hara"]
+    vocab_uni = ["café", "CAFÉ", "château", "smörgåsbord", "ærø",
+                 "weißwurst", "łódź", "кофе", "зайка", "ёлка",
+                 "ελληνικά", "日本語", "寿司", "naïve", "ḡamma", "đông",
+                 "cafe\u0301", "ba\u0306d",  # decomposed forms
+                 "plain", ""]
+    names_uni = ["café", "cafe", "CAFÉ château", "smörgåsbord ærø",
+                 "weißwurst", "łódź", "кофе зайка", "ёлка",
+                 "ελληνικά 寿司", "日本語", "naïve ḡamma", "đông",
+                 "ba\u0306d plain", "plain café"]
     for trial in range(4):
+        vocab, names = ((vocab_ascii, names_ascii) if trial < 2
+                        else (vocab_uni, names_uni))
         captions = [" ".join(rng.choice(vocab, size=rng.integers(1, 7)))
                     for _ in range(rng.integers(50, 150))]
 
