@@ -180,7 +180,7 @@ class TrainSnapshotLoader(EvalLoader):
 
     def __init__(self, samples, batch_size: int = 256, n_px: int = 224,
                  num_workers: int = 16, seed: int = 1,
-                 shuffle_drop_bsz: int = 0):
+                 shuffle_drop_bsz: int = 0, mode: str = "train"):
         samples = list(samples)
         if shuffle_drop_bsz:
             rng = np.random.default_rng(seed)
@@ -190,13 +190,18 @@ class TrainSnapshotLoader(EvalLoader):
             samples = [samples[i] for i in order[:keep]]
         super().__init__(samples, batch_size, n_px, num_workers)
         self.seed = seed
+        self.mode = mode   # 'train' | 'eval' (deterministic, see
+        #                    TrainLoader's 'eval' mode)
 
     def _load_chunk(self, chunk, pool) -> np.ndarray:
         import zlib
 
-        from swat_tpu.data.transforms import host_train_preprocess
+        from swat_tpu.data.transforms import (eval_preprocess,
+                                              host_train_preprocess)
 
         def load(s):
+            if self.mode == "eval":
+                return eval_preprocess(load_image(s.path), self.n_px)
             # per-sample rng keyed on (seed, path): reproducible across
             # runs/processes (unlike builtin hash) so the cached snapshot
             # is stable

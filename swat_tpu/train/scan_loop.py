@@ -12,9 +12,14 @@ pixels and a whole validation pass is one jit (encode + logits + confusion
 matrix accumulated in the scan carry).
 
 This has no reference counterpart (the reference streams PIL batches from
-DataLoader workers every step); it is the TPU-native fast path and is
-bit-equivalent in expectation to the streaming path (same augment math,
-same RNG discipline).
+DataLoader workers every step); it is the TPU-native fast path.  The
+per-step body is LITERALLY the streaming factories' body
+(steps.make_mix_fn + steps.make_encode_loss), so for identical batches
+and per-step keys the scan epoch and the twin-verified streaming steps
+produce the same trajectory — a tested property for every SCAN_METHODS /
+SCAN_TWIN_METHODS entry
+(tests/test_scan_loop.py::test_scan_epoch_matches_streaming_steps), not
+a docstring claim.
 """
 
 from __future__ import annotations
@@ -31,7 +36,7 @@ from swat_tpu.data.transforms import CANVAS_SIZE
 from swat_tpu.kernels import augment as aug
 from swat_tpu.models.clip import CLIPModel
 from swat_tpu.models.head import head_logits
-from swat_tpu.train.losses import LossFn, cross_entropy, mixup_criterion
+from swat_tpu.train.losses import LossFn, cross_entropy
 from swat_tpu.train.state import TrainState
 
 
@@ -116,80 +121,21 @@ def make_scan_epoch(model: CLIPModel, tx, method: str,
             return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
 
     from swat_tpu.models import functional as F
+    from swat_tpu.train.steps import make_encode_loss, make_mix_fn
 
-    is_vit = F._is_vit(model)
+    # THE same per-step body the streaming factories run (steps.make_*
+    # compose the identical mix/encode_loss pair), so the scan path is
+    # trajectory-IDENTICAL to the twin-verified streaming path —
+    # tests/test_scan_loop.py::test_scan_epoch_matches_streaming_steps
+    # pins it for every SCAN_METHODS / SCAN_TWIN_METHODS entry.
+    mix = make_mix_fn(method, mixup_alpha=mixup_alpha,
+                      cutmix_beta=cutmix_beta, mix_prob=mix_prob,
+                      image_size=image_size, aug_dtype=aug_dtype)
+    encode_loss = make_encode_loss(model, loss)
 
     def one_step(state: TrainState, batch, twin, key):
-        k_aug, k_aug2, k_mix = jax.random.split(key, 3)
-
         def loss_fn(trainable):
-            images = aug.train_augment(batch["canvases"], batch["valid_hw"],
-                                       k_aug, out_size=image_size,
-                                       dtype=aug_dtype)
-            labels = batch["labels"]
-            source = batch["source"]
-            lam_vec = None
-            if twin is not None:
-                images2 = aug.train_augment(
-                    twin["canvases"], twin["valid_hw"], k_aug2,
-                    out_size=image_size, dtype=aug_dtype)
-
-            if method == "cutmix":
-                images, y_a, y_b, lam = aug.cutmix(
-                    images, labels, k_mix, cutmix_beta, mix_prob)
-            elif method == "cutmix-fs":
-                images = jnp.concatenate([images, images2], axis=0)
-                labels = jnp.concatenate([labels, twin["labels"]], axis=0)
-                source = jnp.concatenate([source, twin["source"]], axis=0)
-                images, y_a, y_b, lam = aug.cutmix(
-                    images, labels, k_mix, cutmix_beta, mix_prob)
-            elif method == "finetune-mixed":
-                images = jnp.concatenate([images, images2], axis=0)
-                labels = jnp.concatenate([labels, twin["labels"]], axis=0)
-                source = jnp.concatenate([source, twin["source"]], axis=0)
-                y_a = y_b = labels
-                lam = 1.0
-            elif method == "CMO":
-                images, y_a, y_b, lam = aug.cutmix_from(
-                    images, labels, images2, twin["labels"], k_mix,
-                    cutmix_beta, mix_prob)
-            elif method == "mixup-fs":
-                images, y_a, y_b, lam = aug.mixup_fs(
-                    images, labels, images2, twin["labels"], k_mix,
-                    mixup_alpha, mix_prob)
-            elif method == "mixup":
-                images, y_a, y_b, lam = aug.mixup(
-                    images, labels, k_mix, mixup_alpha, mix_prob)
-            elif method == "resizemix":
-                images, y_a, y_b, lam = aug.resizemix(
-                    images, labels, k_mix, mix_prob)
-            elif method == "saliencymix":
-                images, y_a, y_b, lam_vec = aug.saliencymix(
-                    images, labels, k_mix, cutmix_beta, mix_prob)
-                lam = None
-            elif method == "finetune":
-                y_a = y_b = labels
-                lam = 1.0
-            else:
-                raise NotImplementedError(method)
-            if is_vit:
-                feats = F.encode_image(model, trainable["model"], images,
-                                       normalize=True)
-                bn_upd = None
-            else:
-                # RN50: batch-stat BN + sown running-stat updates, same
-                # semantics as the streaming steps (steps._encode_train)
-                feats, bn_upd = F.encode_image_bn_train(
-                    model, trainable["model"], images)
-            logits = head_logits(trainable["head"], feats) * jnp.exp(
-                trainable["logit_scale"])
-            if lam_vec is not None:
-                from swat_tpu.train.losses import mixup_criterion_lam_vector
-
-                return (mixup_criterion_lam_vector(logits, y_a, y_b,
-                                                   lam_vec), bn_upd)
-            return (mixup_criterion(loss, logits, y_a, y_b, lam, source),
-                    bn_upd)
+            return encode_loss(trainable, mix(trainable, batch, twin, key))
 
         (val, bn_upd), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.trainable)

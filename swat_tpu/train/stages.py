@@ -412,11 +412,14 @@ class SwatPipeline:
             #    persisted across runs, busted by --recal_fea.
             _train_smp = self._train_samples(cfg)
             if cfg.pre_extracted:
+                snap_mode = "eval" if cfg.aug_mode == "eval" else "train"
                 train_feats = self._cached_extract(
-                    cfg, params, "train_trainaug",
+                    cfg, params,
+                    "train_trainaug" if snap_mode == "train"
+                    else "train_evalaug",
                     lambda: TrainSnapshotLoader(
                         _train_smp, 256, image_size, cfg.num_workers,
-                        seed=cfg.training_seed),
+                        seed=cfg.training_seed, mode=snap_mode),
                     samples=_train_smp)
                 train_loader = FeatureBatches(
                     train_feats["image_features"], train_feats["labels"],
@@ -1076,13 +1079,17 @@ class SwatPipeline:
         # drop_last=True bsz-128 extraction that discards up to 127
         # random samples from the probing train set
         _fs_smp = self._samples(cfg.fewshot_data)
+        snap_mode = "eval" if cfg.aug_mode == "eval" else "train"
         train_feats = self._cached_extract(
-            cfg, params, "fsprobe_trainaug",
+            cfg, params,
+            "fsprobe_trainaug" if snap_mode == "train"
+            else "fsprobe_evalaug",
             lambda: TrainSnapshotLoader(_fs_smp, 128,
                                         self.model_cfg.vision.image_size,
                                         cfg.num_workers,
                                         seed=cfg.training_seed,
-                                        shuffle_drop_bsz=128),
+                                        shuffle_drop_bsz=128,
+                                        mode=snap_mode),
             samples=_fs_smp)
         _t_smp = self._samples(cfg.test_split)
         test_feats = self._cached_extract(

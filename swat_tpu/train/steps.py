@@ -35,13 +35,122 @@ from swat_tpu.train.losses import (
 from swat_tpu.train.state import TrainState
 
 
-def _get_images(batch, key, image_size: int = 224):
+def _get_images(batch, key, image_size: int = 224, dtype=None):
     """Resolve the batch's image tensor, running the on-device augment
     chain when the batch carries canvases."""
     if "canvases" in batch:
+        kw = {} if dtype is None else {"dtype": dtype}
         return aug.train_augment(batch["canvases"], batch["valid_hw"], key,
-                                 out_size=image_size)
+                                 out_size=image_size, **kw)
     return batch["images"]
+
+
+def make_mix_fn(method: str, *, mixup_alpha: float = 1.0,
+                cutmix_beta: float = 1.0, mix_prob: float = 0.5,
+                heatmap_fn: Optional[Callable] = None,
+                image_size: int = 224, aug_dtype=None):
+    """THE per-step augment+mix body, shared verbatim by the streaming
+    step factories below and the resident scan path
+    (train/scan_loop.make_scan_epoch) — one implementation, so the two
+    execution modes are trajectory-equivalent by construction
+    (tests/test_scan_loop.py::test_scan_epoch_matches_streaming_steps).
+
+    Returns mix(trainable, batch, twin, key) ->
+        (images, y_a, y_b, lam, lam_vec, source)
+    ``batch``/``twin`` carry canvases+valid_hw (device augment) or
+    pre-augmented images, plus labels/source.  ``twin`` is the second
+    loader's batch for the -fs/CMO/mixed families (reference two-loader
+    pattern, utils/training.py:724-737), None otherwise.  The key is
+    split 3 ways internally (primary augment, twin augment, mix draw).
+    """
+
+    def mix(trainable, batch, twin, key):
+        k_aug, k_aug2, k_mix = jax.random.split(key, 3)
+        images = _get_images(batch, k_aug, image_size, aug_dtype)
+        labels = batch["labels"]
+        source = batch["source"]
+        lam = None
+        lam_vec = None
+
+        if twin is not None:
+            images2 = _get_images(twin, k_aug2, image_size, aug_dtype)
+            labels2 = twin["labels"]
+
+        if method == "finetune":
+            y_a = y_b = labels
+            lam = 1.0
+        elif method == "finetune-mixed":
+            # reference train_ce_mixed: concat retrieved + few-shot
+            # half-batches (utils/training.py:692-816)
+            images = jnp.concatenate([images, images2], axis=0)
+            labels = jnp.concatenate([labels, labels2], axis=0)
+            source = jnp.concatenate([source, twin["source"]], axis=0)
+            y_a = y_b = labels
+            lam = 1.0
+        elif method == "cutmix":
+            images, y_a, y_b, lam = aug.cutmix(
+                images, labels, k_mix, cutmix_beta, mix_prob)
+        elif method == "cutmix-fs":
+            images = jnp.concatenate([images, images2], axis=0)
+            labels = jnp.concatenate([labels, labels2], axis=0)
+            source = jnp.concatenate([source, twin["source"]], axis=0)
+            images, y_a, y_b, lam = aug.cutmix(
+                images, labels, k_mix, cutmix_beta, mix_prob)
+        elif method == "CMO":
+            images, y_a, y_b, lam = aug.cutmix_from(
+                images, labels, images2, labels2, k_mix,
+                cutmix_beta, mix_prob)
+        elif method == "mixup":
+            images, y_a, y_b, lam = aug.mixup(
+                images, labels, k_mix, mixup_alpha, mix_prob)
+        elif method == "mixup-fs":
+            images, y_a, y_b, lam = aug.mixup_fs(
+                images, labels, images2, labels2, k_mix,
+                mixup_alpha, mix_prob)
+        elif method == "resizemix":
+            images, y_a, y_b, lam = aug.resizemix(
+                images, labels, k_mix, mix_prob)
+        elif method == "saliencymix":
+            images, y_a, y_b, lam_vec = aug.saliencymix(
+                images, labels, k_mix, cutmix_beta, mix_prob)
+        elif method == "attentivemix":
+            # the reference's GEM heatmap model is a SEPARATE frozen
+            # model (utils/training.py:2682) — no gradients flow from
+            # the mixing loss into the heatmap network.  labels pick
+            # each image's localization text (--attentive_name,
+            # :2717-2731); self-relevance heatmap_fns ignore them.
+            heatmaps = jax.lax.stop_gradient(
+                heatmap_fn(trainable["model"], images, labels))
+            images, y_a, y_b, lam_vec = aug.attentivemix(
+                images, labels, heatmaps, k_mix, cutmix_beta, mix_prob)
+        else:
+            raise NotImplementedError(method)
+        return images, y_a, y_b, lam, lam_vec, source
+
+    return mix
+
+
+def mix_criterion(loss: LossFn, logits, y_a, y_b, lam, lam_vec, source):
+    """Dispatch between the scalar-lambda and per-image-lambda mixing
+    criteria (shared by the streaming and scan paths)."""
+    if lam_vec is not None:
+        return mixup_criterion_lam_vector(logits, y_a, y_b, lam_vec)
+    return mixup_criterion(loss, logits, y_a, y_b, lam, source)
+
+
+def make_encode_loss(model: CLIPModel, loss: LossFn):
+    """encode_loss(trainable, mixed) -> (loss, bn_upd) for a mix() output
+    tuple — the second shared half of the per-step body."""
+
+    def encode_loss(trainable, mixed):
+        images, y_a, y_b, lam, lam_vec, source = mixed
+        feats, bn_upd = _encode_train(model, trainable["model"], images)
+        logits = _scaled_logits(trainable["head"],
+                                trainable["logit_scale"], feats)
+        return mix_criterion(loss, logits, y_a, y_b, lam, lam_vec,
+                             source), bn_upd
+
+    return encode_loss
 
 
 def _encode(model, params, images):
@@ -193,6 +302,54 @@ def _accum_value_and_grad(trainable, micro_loss, per_sample, accum: int,
     return val_sum, g_sum
 
 
+def _twin_of(batch):
+    """The second loader's sub-batch, carried as *_fs keys (the
+    reference's tuple-of-loaders pattern flattened into one dict)."""
+    twin = {k[:-3]: v for k, v in batch.items() if k.endswith("_fs")}
+    return twin or None
+
+
+def _make_mix_step(model: CLIPModel, tx, method: str, loss: LossFn,
+                   mix, accum: int):
+    """Shared step builder over a make_mix_fn body: full-batch mix ->
+    encode+loss (microbatched under accum) -> optax update."""
+    encode_loss = make_encode_loss(model, loss)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def step(state: TrainState, batch, key):
+        twin = _twin_of(batch)
+
+        if accum > 1:
+            # full-batch mix outside the grad (exact: no gradient flows
+            # through it — attentivemix's heatmap is stop_gradient'ed)
+            images, y_a, y_b, lam, lam_vec, source = mix(
+                state.trainable, batch, twin, key)
+            per_sample = {"images": images, "y_a": y_a, "y_b": y_b,
+                          "source": source}
+            if lam_vec is not None:
+                per_sample["lam_vec"] = lam_vec
+
+            def micro_loss(trainable, mb):
+                val, _ = encode_loss(
+                    trainable, (mb["images"], mb["y_a"], mb["y_b"], lam,
+                                mb.get("lam_vec"), mb["source"]))
+                return val
+
+            val, grads = _accum_value_and_grad(
+                state.trainable, micro_loss, per_sample, accum,
+                reduction="sum" if lam_vec is not None else "mean")
+            return _apply_update(tx, state, grads), val
+
+        def loss_fn(trainable):
+            return encode_loss(trainable, mix(trainable, batch, twin, key))
+
+        (val, bn_upd), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.trainable)
+        return _fold_bn(_apply_update(tx, state, grads), bn_upd), val
+
+    return step
+
+
 def make_ce_step(model: CLIPModel, tx, loss: LossFn = cross_entropy,
                  concat_fs: bool = False, image_size: int = 224,
                  accum: int = 1):
@@ -202,53 +359,9 @@ def make_ce_step(model: CLIPModel, tx, loss: LossFn = cross_entropy,
     batch into `accum` microbatches and accumulates gradients — same
     semantics, 1/accum the activation HBM, no recompute."""
     _check_accum(model, accum)
-
-    @functools.partial(jax.jit, donate_argnums=0)
-    def step(state: TrainState, batch, key):
-        k1, k2 = jax.random.split(key)
-
-        def prep():
-            images = _get_images(batch, k1, image_size)
-            labels = batch["labels"]
-            source = batch["source"]
-            if concat_fs:
-                twin = {k[:-3]: v for k, v in batch.items()
-                        if k.endswith("_fs")}
-                images = jnp.concatenate(
-                    [images, _get_images(twin, k2, image_size)], axis=0)
-                labels = jnp.concatenate([labels, twin["labels"]], axis=0)
-                source = jnp.concatenate([source, twin["source"]], axis=0)
-            return images, labels, source
-
-        def logits_of(trainable, images):
-            feats, bn_upd = _encode_train(model, trainable["model"],
-                                          images)
-            return _scaled_logits(trainable["head"],
-                                  trainable["logit_scale"], feats), bn_upd
-
-        if accum > 1:
-            images, labels, source = prep()
-
-            def micro_loss(trainable, mb):
-                logits, _ = logits_of(trainable, mb["images"])
-                return loss(logits, mb["labels"], mb["source"])
-
-            val, grads = _accum_value_and_grad(
-                state.trainable, micro_loss,
-                {"images": images, "labels": labels, "source": source},
-                accum)
-            return _apply_update(tx, state, grads), val
-
-        def loss_fn(trainable):
-            images, labels, source = prep()
-            logits, bn_upd = logits_of(trainable, images)
-            return loss(logits, labels, source), bn_upd
-
-        (val, bn_upd), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.trainable)
-        return _fold_bn(_apply_update(tx, state, grads), bn_upd), val
-
-    return step
+    mix = make_mix_fn("finetune-mixed" if concat_fs else "finetune",
+                      image_size=image_size)
+    return _make_mix_step(model, tx, "finetune", loss, mix, accum)
 
 
 def make_mixing_step(model: CLIPModel, tx, method: str,
@@ -271,111 +384,20 @@ def make_mixing_step(model: CLIPModel, tx, method: str,
     CMO         reference train_CMO         :1865-2005 (second batch from
                 inverse-frequency loader)
 
+    The augment+mix body itself is make_mix_fn — the same function the
+    resident scan path runs, so streaming and scan trajectories are
+    identical by construction.
+
     accum>1: the mix itself stays a full-batch op (its pairing permutation
     spans the batch) computed outside the gradient — only encode+loss is
     microbatched (attentivemix's heatmap was already stop_gradient'ed, so
     hoisting it out of the grad is exact).
     """
     _check_accum(model, accum)
-
-    @functools.partial(jax.jit, donate_argnums=0)
-    def step(state: TrainState, batch, key):
-        k_aug, k_aug2, k_mix = jax.random.split(key, 3)
-
-        def mix(trainable):
-            images = _get_images(batch, k_aug, image_size)
-            labels = batch["labels"]
-            source = batch["source"]
-            lam = None
-            lam_vec = None
-
-            if method in ("cutmix-fs", "mixup-fs", "CMO"):
-                twin = {k[:-3]: v for k, v in batch.items()
-                        if k.endswith("_fs")}
-                images2 = _get_images(twin, k_aug2, image_size)
-                labels2 = twin["labels"]
-
-            if method == "cutmix":
-                images, y_a, y_b, lam = aug.cutmix(
-                    images, labels, k_mix, cutmix_beta, mix_prob)
-            elif method == "cutmix-fs":
-                images = jnp.concatenate([images, images2], axis=0)
-                labels = jnp.concatenate([labels, labels2], axis=0)
-                source = jnp.concatenate([source, twin["source"]], axis=0)
-                images, y_a, y_b, lam = aug.cutmix(
-                    images, labels, k_mix, cutmix_beta, mix_prob)
-            elif method == "CMO":
-                images, y_a, y_b, lam = aug.cutmix_from(
-                    images, labels, images2, labels2, k_mix,
-                    cutmix_beta, mix_prob)
-            elif method == "mixup":
-                images, y_a, y_b, lam = aug.mixup(
-                    images, labels, k_mix, mixup_alpha, mix_prob)
-            elif method == "mixup-fs":
-                images, y_a, y_b, lam = aug.mixup_fs(
-                    images, labels, images2, labels2, k_mix,
-                    mixup_alpha, mix_prob)
-            elif method == "resizemix":
-                images, y_a, y_b, lam = aug.resizemix(
-                    images, labels, k_mix, mix_prob)
-            elif method == "saliencymix":
-                images, y_a, y_b, lam_vec = aug.saliencymix(
-                    images, labels, k_mix, cutmix_beta, mix_prob)
-            elif method == "attentivemix":
-                # the reference's GEM heatmap model is a SEPARATE frozen
-                # model (utils/training.py:2682) — no gradients flow from
-                # the mixing loss into the heatmap network.  labels pick
-                # each image's localization text (--attentive_name,
-                # :2717-2731); self-relevance heatmap_fns ignore them.
-                heatmaps = jax.lax.stop_gradient(
-                    heatmap_fn(trainable["model"], images, labels))
-                images, y_a, y_b, lam_vec = aug.attentivemix(
-                    images, labels, heatmaps, k_mix, cutmix_beta, mix_prob)
-            else:
-                raise NotImplementedError(method)
-            return images, y_a, y_b, lam, lam_vec, source
-
-        def criterion(logits, y_a, y_b, lam, lam_vec, source):
-            if lam_vec is not None:
-                return mixup_criterion_lam_vector(logits, y_a, y_b,
-                                                  lam_vec)
-            return mixup_criterion(loss, logits, y_a, y_b, lam, source)
-
-        if accum > 1:
-            # full-batch mix outside the grad (exact: no gradient flows
-            # through it — attentivemix's heatmap is stop_gradient'ed)
-            images, y_a, y_b, lam, lam_vec, source = mix(state.trainable)
-            per_sample = {"images": images, "y_a": y_a, "y_b": y_b,
-                          "source": source}
-            if lam_vec is not None:
-                per_sample["lam_vec"] = lam_vec
-
-            def micro_loss(trainable, mb):
-                feats, _ = _encode_train(model, trainable["model"],
-                                         mb["images"])
-                logits = _scaled_logits(trainable["head"],
-                                        trainable["logit_scale"], feats)
-                return criterion(logits, mb["y_a"], mb["y_b"], lam,
-                                 mb.get("lam_vec"), mb["source"])
-
-            val, grads = _accum_value_and_grad(
-                state.trainable, micro_loss, per_sample, accum,
-                reduction="sum" if lam_vec is not None else "mean")
-            return _apply_update(tx, state, grads), val
-
-        def loss_fn(trainable):
-            images, y_a, y_b, lam, lam_vec, source = mix(trainable)
-            feats, bn_upd = _encode_train(model, trainable["model"],
-                                          images)
-            logits = _scaled_logits(trainable["head"],
-                                    trainable["logit_scale"], feats)
-            return criterion(logits, y_a, y_b, lam, lam_vec, source), bn_upd
-
-        (val, bn_upd), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.trainable)
-        return _fold_bn(_apply_update(tx, state, grads), bn_upd), val
-
-    return step
+    mix = make_mix_fn(method, mixup_alpha=mixup_alpha,
+                      cutmix_beta=cutmix_beta, mix_prob=mix_prob,
+                      heatmap_fn=heatmap_fn, image_size=image_size)
+    return _make_mix_step(model, tx, method, loss, mix, accum)
 
 
 def make_flyp_step(model: CLIPModel, tx, loss: LossFn = cross_entropy,

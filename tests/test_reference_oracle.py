@@ -343,6 +343,46 @@ def test_full_swat_orchestration_matches_reference(sandbox, tmp_path):
             f"{name}: swat {s} vs reference {r}")
 
 
+def test_probing_trajectory_matches_reference(sandbox, tmp_path):
+    """train_probing on the PRE-EXTRACTED fast path (reference
+    utils/training.py:47-161 + pre_extract_feature,
+    utils/dataloader.py:35-104): frozen encoder, one train-transform
+    feature snapshot, head-only CE at the FIXED ln(100) logit scale
+    (utils/optimizers.py:51-59).  --pre_extracted matches how the
+    reference's own REAL-Linear script invokes probing
+    (scripts/run_dataset_REAL-Linear.sh:78) — EXECUTING the reference
+    showed the streaming flavor crashes in main.py:352 (it validates the
+    streaming loaders with pre_extracted=True when no --model_path is
+    given), so pre-extracted IS the reference's executed standalone
+    probing config."""
+    summary, out = run_reference(
+        sandbox, "--dataset", DS, "--method", "probing",
+        "--cls_init", "REAL-Prompt", "--shots", "4", "--seed", "1",
+        "--training_seed", "1", "--epochs", "3", "--bsz", "12",
+        "--num_workers", "0", "--early_stop", "True",
+        "--pre_extracted", "--recal_fea",
+        "--retrieval_split", "T2T30.txt", "--no_wsft", "--no_tau",
+        "--skip_stage2", "--folder", "out_probe", det_aug=True)
+    ref_rows = _read_loss_csv(
+        _ref_output_dir(sandbox, "out_probe", "probing", 3) / "loss.csv")
+    ref_stage1_acc = float(summary.split(",")[7])
+
+    from swat_tpu.train.stages import SwatPipeline
+
+    cfg = swat_cfg(sandbox, tmp_path, method="probing", epochs=3,
+                   bsz=12, early_stop=True, aug_mode="eval",
+                   resident="off", no_wsft=True, no_tau=True,
+                   pre_extracted=True, recal_fea=True,
+                   skip_stage2=True)
+    pipe = SwatPipeline(cfg)
+    swat_summary = pipe.run()
+    swat_rows = _read_loss_csv(os.path.join(cfg.output_dir, "loss.csv"))
+
+    _compare_loss_csv(ref_rows, swat_rows)
+    assert float(swat_summary.split(",")[7]) == pytest.approx(
+        ref_stage1_acc, abs=0.051)
+
+
 # ---------------------------------------------------------------------------
 # retrieval sampler dispatch: the reference's sampling()
 # (sample_retrieval.py:1471-1670) executed on synthetic features IS the
