@@ -178,7 +178,7 @@ def test_custom_dataset_infers_classes_and_templates(tmp_path):
     and prompts fall back to the generic CLIP template — the reference
     instead requires editing its hard-coded dicts
     (utils/datasets/dataset_utils.py:13-24, utils/prompt.py)."""
-    from swat_tpu.core.config import RunConfig
+    from swat_tpu.core.config import _INFERRED_NUM_CLASSES, RunConfig
     from swat_tpu.data.prompts import get_templates
     from swat_tpu.data.registry import NUM_CLASSES_DICT
 
@@ -196,14 +196,28 @@ def test_custom_dataset_infers_classes_and_templates(tmp_path):
                         retrieved_path=str(tmp_path)).derived()
         assert cfg.num_classes == 5
         assert get_templates(name, "most_common_name") == ["a photo of a {}."]
-        # no metrics JSON: falls back to max test.txt label + 1
-        NUM_CLASSES_DICT.pop(name)
+        # no metrics JSON: falls back to the union of split-file labels
+        # (max label + 1).  The inference is cached per (name, dataset_dir)
+        # — clear it so the fallback path actually re-runs.
+        _INFERRED_NUM_CLASSES.pop((name, cfg.dataset_dir), None)
         os.remove(root / f"{name}_metrics-LAION400M.json")
         with open(root / "test.txt", "w") as f:
             f.write("a.jpg 0 0\nb.jpg 6 0\n")
         assert cfg.num_classes == 7
+        # a second config with the same NAME but a different dataset_path
+        # must NOT inherit the cached inference (ADVICE r4)
+        other = tmp_path / "elsewhere"
+        os.makedirs(other / name)
+        with open(other / name / "test.txt", "w") as f:
+            f.write("a.jpg 0 0\nb.jpg 2 0\n")
+        cfg2 = RunConfig(dataset=name, model_cfg="test_tiny",
+                         dataset_path=str(other),
+                         retrieved_path=str(other)).derived()
+        assert cfg2.num_classes == 3
+        assert cfg.num_classes == 7
     finally:
         NUM_CLASSES_DICT.pop(name, None)
+        _INFERRED_NUM_CLASSES.clear()
 
 
 def test_resident_off_matches_streaming_learning(dataset_dir, tmp_path):
