@@ -101,6 +101,9 @@ class RunConfig:
     lr_projector: Optional[float] = None
     wd: float = 1e-2
     bsz: int = 32
+    # internal: the pre-halving bsz as requested (set by derived(); -1 =
+    # not yet derived).  Not a CLI flag.
+    requested_bsz: int = -1
     optim: str = "AdamW"
     temperature: float = 0.07
     alpha: float = 0.5                        # WiSE-FT mixing
@@ -162,9 +165,22 @@ class RunConfig:
         if not cfg.freeze_visual and cfg.pre_extracted:
             raise ValueError("visual encoder not frozen, pre-extracted "
                              "features are not compatible.")
-        # batch halving (:181-182)
-        if cfg.method in ("CMLP", "finetune-mixed"):
-            cfg = dataclasses.replace(cfg, bsz=cfg.bsz // 2)
+        # batch halving (:181-182) — keyed off the REQUESTED bsz so
+        # derived() is idempotent: the CLI derives once and SwatPipeline
+        # derives again, which used to quarter the CMLP/finetune-mixed
+        # batch (found by the executed-reference CMLP differential,
+        # tests/test_reference_oracle_methods.py: ref iter/epoch 1,
+        # ours 3).  A bsz that matches what the previous derivation
+        # produced is left alone; any other bsz (fresh config, or a
+        # dataclasses.replace(bsz=...) / replace(method=...) after
+        # deriving) is treated as a new request and re-halved from it.
+        halved = cfg.method in ("CMLP", "finetune-mixed")
+        if cfg.requested_bsz >= 0 and cfg.bsz == (
+                cfg.requested_bsz // 2 if halved else cfg.requested_bsz):
+            return cfg
+        cfg = dataclasses.replace(
+            cfg, requested_bsz=cfg.bsz,
+            bsz=cfg.bsz // 2 if halved else cfg.bsz)
         return cfg
 
     # split specs (reference utils/parser.py:185-207)

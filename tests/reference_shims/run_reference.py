@@ -42,6 +42,30 @@ def main():
 
     reference_shims.install()
 
+    head_npy = os.environ.get("SWAT_SHIM_DATASET_HEAD")
+    if head_npy:
+        # Documented harness instrumentation: the reference initializes
+        # the dataset-cls head with torch's default (RNG-dependent)
+        # nn.Linear init (utils/models.py:24-27) which a cross-framework
+        # differential cannot reproduce — load harness-fixed weights so
+        # both sides start from the same head and the TRAINING semantics
+        # (source-as-label loop, validate_dataset) are what's compared.
+        import numpy as _np
+        import torch as _torch
+        import utils.models as _models
+
+        _orig_set_classifier = _models.set_classifier
+
+        def _set_classifier(args, prompt_tensors, logger):
+            head = _orig_set_classifier(args, prompt_tensors, logger)
+            if getattr(args, "method", None) == "dataset-cls":
+                w = _torch.from_numpy(_np.load(head_npy))
+                with _torch.no_grad():
+                    head.linear.weight.copy_(w)
+            return head
+
+        _models.set_classifier = _set_classifier
+
     if det_aug:
         import utils.extras as extras
         from shim_torchvision import (CenterCrop, Compose, Normalize,

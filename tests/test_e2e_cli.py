@@ -172,6 +172,32 @@ def test_cli_parse_matches_reference_flags(dataset_dir, tmp_path):
                          "--remat", "dots_all"]).remat == "dots_all"
 
 
+def test_derived_is_idempotent():
+    """derived() must be re-applicable: the CLI derives once and
+    SwatPipeline.__init__ derives again.  The CMLP/finetune-mixed batch
+    halving (reference parser.py:181-182) used to re-apply on every
+    call, quartering the effective batch — caught by the executed-
+    reference CMLP differential (ref 1 iter/epoch vs our 3)."""
+    import dataclasses
+
+    from swat_tpu.core.config import RunConfig
+
+    cfg = RunConfig(dataset="semi-aves", method="CMLP", bsz=6,
+                    pre_extracted=True).derived()
+    assert cfg.bsz == 3
+    assert cfg.derived().bsz == 3                      # pipeline re-derive
+    assert cfg.derived().derived().bsz == 3
+    # replace(method=...) after deriving re-halves from the original
+    # request; replace(bsz=...) is honored as a fresh request
+    c2 = dataclasses.replace(
+        RunConfig(dataset="semi-aves", bsz=6).derived(),
+        method="finetune-mixed").derived()
+    assert c2.bsz == 3
+    c3 = dataclasses.replace(
+        RunConfig(dataset="semi-aves", bsz=6).derived(), bsz=8).derived()
+    assert c3.bsz == 8
+
+
 def test_custom_dataset_infers_classes_and_templates(tmp_path):
     """A dataset absent from NUM_CLASSES_DICT works end-to-end at config
     level: class count inferred from the metrics JSON (or test.txt labels)

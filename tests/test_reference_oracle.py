@@ -81,13 +81,17 @@ def _encode_text_torch(sd_model, tokens):
     return feats, mean
 
 
-@pytest.fixture(scope="module")
-def sandbox(tmp_path_factory):
-    """The reference's CWD tree: config.yml + data/<ds>/{splits, imgs,
-    metrics json, prompts/*.pth caches} + the shim weight bundle."""
+def make_ref_sandbox(box, clip_cfg, *, sd_seed=5, img_seed=7,
+                     fs_name="fewshot4_seed1.txt", n_fs=4, n_test=20,
+                     n_retr=8):
+    """Build the reference's CWD tree inside `box`: config.yml +
+    data/<ds>/{splits, imgs, metrics json, prompts/*.pth caches} + the
+    shim weight bundle.  Parameterized so method-specific differentials
+    (dataset-cls needs embed_dim 512, CMLP needs split size == effective
+    bsz == text-bank size) can build their own sandboxes."""
     from shim_open_clip import ShimCLIP
 
-    box = tmp_path_factory.mktemp("refbox")
+    v, t = clip_cfg.vision, clip_cfg.text
     data = box / "data"
     root = data / DS
     os.makedirs(root / "imgs")
@@ -95,37 +99,44 @@ def sandbox(tmp_path_factory):
 
     # ---- weights: one oracle sd, three consumers (shim bundle for the
     # reference, raw sd for swat's checkpoint loader, ShimCLIP here)
-    sd = make_oracle_sd(seed=5, w=64, layers=2, embed=32, patch=32,
-                        img=224, ctx=16, vocab=512, text_w=32,
-                        text_layers=2)
-    bundle = {"sd": sd, "vision_layers": 2, "vision_heads": 4, "patch": 32,
-              "text_layers": 2, "text_heads": 4, "vocab_size": 512,
-              "context_length": 16, "image_size": 224}
+    sd = make_oracle_sd(seed=sd_seed, w=v.width, layers=v.layers,
+                        embed=v.embed_dim, patch=v.patch_size,
+                        img=v.image_size, ctx=t.context_length,
+                        vocab=t.vocab_size, text_w=t.width,
+                        text_layers=t.layers)
+    bundle = {"sd": sd, "vision_layers": v.layers,
+              "vision_heads": v.heads, "patch": v.patch_size,
+              "text_layers": t.layers, "text_heads": t.heads,
+              "vocab_size": t.vocab_size,
+              "context_length": t.context_length,
+              "image_size": v.image_size}
     torch.save(bundle, box / "shim_clip.pt")
     torch.save(sd, box / "openclip_sd.pt")
-    model = ShimCLIP(sd, 2, 4, 32, 2, 4)
+    model = ShimCLIP(sd, v.layers, v.heads, v.patch_size, t.layers,
+                     t.heads)
 
-    # ---- images: class-colored 224^2 (exactly the model's resolution so
-    # the eval Resize is geometry-free; pixel parity of the resample path
+    # ---- images: class-colored (exactly the model's resolution so the
+    # eval Resize is geometry-free; pixel parity of the resample path
     # itself is covered by tests/test_data.py's PIL parity suite)
-    rng = np.random.default_rng(7)
+    rng = np.random.default_rng(img_seed)
     colors = np.asarray([[205, 40, 40], [40, 205, 40], [40, 40, 205]])
+    px = v.image_size
 
     def write_split(name, n_per_class, fewshot, prefix):
         lines = []
         for c in range(NUM_CLASSES):
             for i in range(n_per_class):
                 fname = f"imgs/{prefix}_{c}_{i}.jpg"
-                arr = (colors[c] + rng.integers(-40, 40, (224, 224, 3))
+                arr = (colors[c] + rng.integers(-40, 40, (px, px, 3))
                        ).clip(0, 255).astype(np.uint8)
                 Image.fromarray(arr).save(root / fname, quality=92)
                 lines.append(f"{fname} {c} {fewshot}")
         with open(root / name, "w") as f:
             f.write("\n".join(lines) + "\n")
 
-    write_split("fewshot4_seed1.txt", 4, 1, "fs")
-    write_split("test.txt", 20, 0, "te")
-    write_split("T2T30.txt", 8, 0, "rt")
+    write_split(fs_name, n_fs, 1, "fs")
+    write_split("test.txt", n_test, 0, "te")
+    write_split("T2T30.txt", n_retr, 0, "rt")
 
     # ---- metrics json (consumed by BOTH sides' prompt construction)
     metrics = {str(c): {"name": f"class{c}",
@@ -143,12 +154,12 @@ def sandbox(tmp_path_factory):
     # strings swat generates (data/prompts.py == reference prompt_maker,
     # already parity-tested) and the SAME hash tokenizer.
     text_prompts = P.make_prompts(metrics, DS, "most_common_name")
-    tok = HashTokenizer(CFG.text.vocab_size)
+    tok = HashTokenizer(t.vocab_size)
     tp_pth, tok_pth, ten_pth = {}, {}, {}
     for cid in sorted(text_prompts, key=int):
         corpus = text_prompts[cid]
         tokens = torch.from_numpy(
-            np.asarray(tok(corpus, CFG.text.context_length))).long()
+            np.asarray(tok(corpus, t.context_length))).long()
         feats, mean = _encode_text_torch(model, tokens)
         tp_pth[cid] = {"corpus": list(corpus)}
         tok_pth[cid] = {"all": tokens}
@@ -164,9 +175,21 @@ def sandbox(tmp_path_factory):
     return box
 
 
-def run_reference(sandbox, *main_args, det_aug=False):
-    """Run main.py under the shims; returns (summary_csv_line, stdout+err,
-    output_dir)."""
+@pytest.fixture(scope="module")
+def sandbox(tmp_path_factory):
+    """The reference's CWD tree: config.yml + data/<ds>/{splits, imgs,
+    metrics json, prompts/*.pth caches} + the shim weight bundle."""
+    return make_ref_sandbox(tmp_path_factory.mktemp("refbox"), CFG)
+
+
+def run_reference(sandbox, *main_args, det_aug=False, expect_error=None,
+                  env_extra=None, require_summary=True):
+    """Run main.py under the shims.
+
+    Default: asserts success and returns (summary_csv_line, stdout+err).
+    With expect_error=<str>: asserts the reference CRASHED and that the
+    string appears in its output (used to pin executed-dead-code paths),
+    returning the combined output."""
     args = [sys.executable,
             os.path.join(SHIMS, "run_reference.py"), str(sandbox)]
     if det_aug:
@@ -175,12 +198,24 @@ def run_reference(sandbox, *main_args, det_aug=False):
     env = dict(os.environ)
     env["SWAT_SHIM_CLIP"] = str(sandbox / "shim_clip.pt")
     env.pop("SWAT_BPE_PATH", None)
+    if env_extra:
+        env.update(env_extra)
     proc = subprocess.run(args, capture_output=True, text=True,
                           timeout=1200, env=env)
     out = proc.stdout + "\n" + proc.stderr
+    if expect_error is not None:
+        assert proc.returncode != 0, (
+            f"expected the reference to crash with {expect_error!r} but "
+            f"it exited 0:\n" + out[-4000:])
+        assert expect_error in out, out[-4000:]
+        return out
     assert proc.returncode == 0, out[-4000:]
     lines = [l for l in proc.stdout.strip().splitlines()
              if l.startswith(f"{DS},")]
+    if not require_summary:
+        # dataset-cls exit()s right after training (main.py:329-330)
+        # and never prints a summary row
+        return (lines[-1] if lines else None), out
     assert lines, out[-4000:]
     return lines[-1], out
 
