@@ -16,9 +16,11 @@ Two kinds of pins:
   reference code CANNOT run — found by running it, not by reading it:
     - finetune-mixed:      train_ce_mixed reads the module-global name
                            `logit_scale` that does not exist
-                           (utils/training.py:711 — unlike every other
-                           trainer it never does
+                           (utils/training.py:711 — unlike most other
+                           trainers it never does
                            `logit_scale = args.logit_scale`)
+    - mixup-fs:            train_mixup_fs has the same unbound
+                           `logit_scale` (utils/training.py:1299)
     - finetune-multitask:  set_params (utils/optimizers.py:78) adds
                            `params_dataset_classifier`, which is only
                            bound when a dataset head is passed in —
@@ -94,6 +96,7 @@ def register512(register):
 
 @pytest.mark.parametrize("method,data_source,error", [
     ("finetune-mixed", "fewshot+retrieved", "NameError"),
+    ("mixup-fs", "fewshot+retrieved", "NameError"),
     ("finetune-multitask", "fewshot+retrieved", "UnboundLocalError"),
     ("attentivemix", "fewshot+retrieved", "NameError"),
     ("CMO", "fewshot+retrieved", "AttributeError"),
@@ -116,6 +119,12 @@ def test_reference_method_is_dead_code(sandbox, method, data_source,
         det_aug=True, expect_error=error)
     expected_name = {
         "finetune-mixed": "logit_scale",
+        # train_mixup_fs shares train_ce_mixed's unbound-global bug
+        # (utils/training.py:1299) and dies BEFORE its other latent
+        # crash (the lam*x_retr + (1-lam)*x_fs blend broadcasts only
+        # when int(bsz*fewshot_ratio) == bsz, which the loader builder
+        # makes impossible: the retrieved twin batch would be 0)
+        "mixup-fs": "logit_scale",
         # reading the code suggested main.py:271's undefined
         # `dataset_classifier_head` would NameError first; EXECUTING it
         # shows set_params dies even earlier (optimizers.py:78 adds
