@@ -33,6 +33,10 @@ Two kinds of pins:
     - CMO:                 set_dataloaders reads args.cls_num_list
                            (utils/dataloader.py:229) which parser.py
                            only builds in commented-out code (:212-216)
+    - fixmatch:            set_dataloaders reads args.u_train_split
+                           (utils/dataloader.py:249); the parser only
+                           defines --unlabeled_split and nothing ever
+                           assigns u_train_split
   For these, the torch trajectory twins (tests/test_torch_twin_training
   .py) verify our implementation of the INTENDED semantics (the
   args-bound locals every other trainer uses); these pins document why
@@ -100,6 +104,7 @@ def register512(register):
     ("finetune-multitask", "fewshot+retrieved", "UnboundLocalError"),
     ("attentivemix", "fewshot+retrieved", "NameError"),
     ("CMO", "fewshot+retrieved", "AttributeError"),
+    ("fixmatch", "fewshot", "AttributeError"),
 ])
 def test_reference_method_is_dead_code(sandbox, method, data_source,
                                        error):
@@ -133,6 +138,10 @@ def test_reference_method_is_dead_code(sandbox, method, data_source,
         "finetune-multitask": "params_dataset_classifier",
         "attentivemix": "create_gem_model",
         "CMO": "cls_num_list",
+        # set_dataloaders reads args.u_train_split
+        # (utils/dataloader.py:249) but the parser only defines
+        # --unlabeled_split and nothing ever assigns u_train_split
+        "fixmatch": "u_train_split",
     }[method]
     assert expected_name in out, out[-2000:]
 
